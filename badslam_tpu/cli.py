@@ -1,0 +1,102 @@
+"""Command-line entry point.
+
+Rebuild of the reference CLI (applications/badslam/src/badslam/main.cc:69-908):
+dataset playback, SLAM, final BA, and exports. Run as
+
+    python -m badslam_tpu.cli <dataset_dir> [options]
+
+Flags mirror doc/command_line.md names where applicable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from badslam_tpu.config import BadSlamConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="badslam_tpu",
+        description="TPU-native direct RGB-D SLAM (BAD SLAM capabilities)",
+    )
+    p.add_argument("dataset", help="TUM/ETH3D-format dataset directory")
+    p.add_argument("--trajectory_filename", default=None,
+                   help="optional ground-truth/init trajectory in the dataset dir")
+
+    # Mirror BadSlamConfig fields as flags automatically.
+    cfg = BadSlamConfig()
+    skip = {"loop_detection_vocabulary_path"}
+    for f in dataclasses.fields(BadSlamConfig):
+        name = f.name
+        default = getattr(cfg, name)
+        if name in skip:
+            continue
+        if isinstance(default, bool):
+            p.add_argument(f"--{name}", type=lambda s: s.lower() in
+                           ("1", "true", "yes"), default=default,
+                           metavar="BOOL")
+        elif isinstance(default, int):
+            p.add_argument(f"--{name}", type=int, default=default)
+        elif isinstance(default, float):
+            p.add_argument(f"--{name}", type=float, default=default)
+        else:
+            p.add_argument(f"--{name}", type=str, default=default)
+
+    # Outputs (main.cc export options).
+    p.add_argument("--export_poses", default=None,
+                   help="write final trajectory in TUM format to this path")
+    p.add_argument("--export_point_cloud", default=None,
+                   help="write final surfel cloud as binary PLY")
+    p.add_argument("--export_final_timings", default=None,
+                   help="write the timing report to this path")
+    p.add_argument("--final_ba", action="store_true",
+                   help="run windowed + global final BA after the frame loop")
+    p.add_argument("--final_ba_window_size", type=int, default=16)
+    p.add_argument("--final_ba_window_stride", type=int, default=8)
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def config_from_args(args) -> BadSlamConfig:
+    kwargs = {}
+    for f in dataclasses.fields(BadSlamConfig):
+        if hasattr(args, f.name):
+            kwargs[f.name] = getattr(args, f.name)
+    return BadSlamConfig(**kwargs)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+
+    from badslam_tpu.frontend import BadSlam
+    from badslam_tpu.io.dataset import load_tum_dataset
+    from badslam_tpu.utils.timing import Timing
+
+    video = load_tum_dataset(args.dataset, args.trajectory_filename)
+    slam = BadSlam(config, video)
+    slam.run(progress=not args.quiet)
+
+    if args.final_ba:
+        slam.final_bundle_adjustment(
+            args.final_ba_window_size, args.final_ba_window_stride
+        )
+
+    if args.export_poses:
+        slam.export_trajectory(args.export_poses)
+        print(f"poses written to {args.export_poses}")
+    if args.export_point_cloud:
+        slam.export_point_cloud(args.export_point_cloud)
+        print(f"point cloud written to {args.export_point_cloud}")
+    if args.export_final_timings:
+        Timing.save(args.export_final_timings)
+    if not args.quiet:
+        print(Timing.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,273 @@
+"""BadSlam front-end: the per-frame SLAM pipeline driver.
+
+TPU rebuild of the reference front-end
+(/root/reference/applications/badslam/src/badslam/bad_slam.h:62-363,
+bad_slam.cc): preprocess -> odometry vs the base keyframe -> keyframe
+policy (every keyframe_interval-th frame) -> bundle adjustment, plus the
+constant-motion model, trajectory bookkeeping, and trajectory deformation
+after BA.
+
+Device-side work per frame is two jitted programs: `preprocess_frame`
+(+ pyramid) and `track_frame_pairwise`; everything else is host control
+flow. The BA back-end runs between frames (sequential mode) with a
+frame-time budget, mirroring the reference's non-parallel mode; the
+parallel/async mode is a planned extension (JAX dispatch is already async,
+so tracking and BA device work naturally interleave).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from badslam_tpu.ba.scheme import DirectBA
+from badslam_tpu.config import BadSlamConfig
+from badslam_tpu.geometry import se3
+from badslam_tpu.geometry.camera import PinholeCamera
+from badslam_tpu.io.dataset import RGBDVideo
+from badslam_tpu.ops.preprocess import ProcessedFrame, preprocess_frame
+from badslam_tpu.ops.pyramid import build_pyramid
+from badslam_tpu.tracking.pairwise import track_frame_pairwise
+from badslam_tpu.utils.timing import Timing
+
+
+class BadSlam:
+    """Owns the full SLAM state and processes frames one at a time."""
+
+    def __init__(
+        self,
+        config: BadSlamConfig,
+        video: RGBDVideo,
+        surfel_capacity: Optional[int] = None,
+    ):
+        self.config = config
+        self.video = video
+        self.cam: PinholeCamera = video.camera
+        self.direct_ba = DirectBA(self.cam, config, surfel_capacity)
+
+        self.cams_pyramid = tuple(
+            self.cam.pyramid_level(i) for i in range(config.num_scales)
+        )
+
+        # Base keyframe state (bad_slam.h: base_kf_*).
+        self.base_kf_id: Optional[int] = None
+        self.base_kf_global_T_frame = se3.identity()
+        self.base_kf_pyramid = None
+        # Relative pose history vs the base keyframe (bad_slam.cc:553-563).
+        self.base_kf_tr_frame: List[se3.SE3] = []
+
+        self.frame_poses: List[Optional[se3.SE3]] = [None] * len(video)
+        self.last_frame_index = -1
+        self.queued_ba_keyframes: List[int] = []
+        self.final_ba_done = False
+
+    # ------------------------------------------------------------------
+
+    def preprocess(self, frame_index: int) -> Tuple[ProcessedFrame, tuple]:
+        """Load + preprocess one frame; returns (frame, pyramid)."""
+        c = self.config
+        depth_u16 = self.video.depth_u16(frame_index)
+        rgb = self.video.color_u8(frame_index)
+        depth = jnp.array(
+            depth_u16.astype(np.float32) * c.raw_to_float_depth
+        )
+        frame = preprocess_frame(
+            self.cam, depth, jnp.array(rgb),
+            max_depth=c.max_depth,
+            sigma_xy=c.bilateral_filter_sigma_xy,
+            radius_factor=c.bilateral_filter_radius_factor,
+            sigma_inv_depth=c.bilateral_filter_sigma_inv_depth,
+        )
+        pyramid = build_pyramid(
+            frame.depth, frame.nx, frame.ny, frame.intensity, c.num_scales
+        )
+        return frame, pyramid
+
+    def predict_frame_pose(self) -> Tuple[se3.SE3, se3.SE3]:
+        """Constant-motion model (PredictFramePose, bad_slam.cc:767-829)."""
+        hist = self.base_kf_tr_frame
+        n = len(hist)
+        if not self.config.use_motion_model or n < 2:
+            est1 = hist[-1] if hist else se3.identity()
+            return est1, est1
+        motion = se3.mul(se3.inverse(hist[-2]), hist[-1])
+        est1 = se3.mul(hist[-1], motion)
+        if n >= 3:
+            prev_motion = se3.mul(se3.inverse(hist[-3]), hist[-2])
+            est2 = se3.mul(hist[-2], se3.mul(prev_motion, prev_motion))
+        else:
+            est2 = est1
+        return est1, est2
+
+    def run_odometry(self, pyramid) -> se3.SE3:
+        """Track the current frame against the base keyframe."""
+        c = self.config
+        est1, est2 = self.predict_frame_pose()
+        result = track_frame_pairwise(
+            self.cams_pyramid,
+            self.base_kf_pyramid,
+            pyramid,
+            est1.q, est1.t, est2.q, est2.t,
+            baseline_fx=c.baseline_fx,
+            use_depth=c.use_geometric_residuals,
+            use_descriptor=c.use_photometric_residuals,
+            test_two_initial_estimates=(
+                c.use_motion_model and len(self.base_kf_tr_frame) >= 3
+            ),
+            max_iterations=c.tracking_max_iterations,
+        )
+        return se3.SE3(result.q, result.t)
+
+    # ------------------------------------------------------------------
+
+    def process_frame(self, frame_index: int) -> se3.SE3:
+        """Full per-frame pipeline (ProcessFrame, bad_slam.cc:174-283).
+        Returns the frame's estimated global_T_frame."""
+        c = self.config
+        with Timing.time("preprocessing"):
+            frame, pyramid = self.preprocess(frame_index)
+
+        is_first = self.base_kf_id is None
+        if is_first:
+            base_T_frame = se3.identity()
+            global_T_frame = (
+                self.video.poses[frame_index] or se3.identity()
+            )
+        else:
+            if c.estimate_poses:
+                with Timing.time("odometry", sync=None):
+                    base_T_frame = self.run_odometry(pyramid)
+            else:
+                base_T_frame = self.base_kf_tr_frame[-1]
+            global_T_frame = se3.mul(self.base_kf_global_T_frame, base_T_frame)
+
+        self.frame_poses[frame_index] = global_T_frame
+        self.video.set_pose(frame_index, global_T_frame)
+        self.base_kf_tr_frame.append(base_T_frame)
+        self.last_frame_index = frame_index
+
+        # Keyframe policy: every keyframe_interval-th processed frame
+        # (bad_slam.cc:202-204), plus always the first.
+        frames_processed = frame_index - c.start_frame
+        if is_first or frames_processed % c.keyframe_interval == 0:
+            self.create_keyframe(frame_index, frame, pyramid, global_T_frame)
+
+            if c.max_num_ba_iterations_per_keyframe > 0 and not is_first:
+                with Timing.time("bundle adjustment"):
+                    self.direct_ba.bundle_adjustment(
+                        max_iterations=c.max_num_ba_iterations_per_keyframe,
+                        do_surfel_updates=c.do_surfel_updates,
+                    )
+                self._apply_ba_pose_updates()
+
+        return self.frame_poses[frame_index]
+
+    def create_keyframe(self, frame_index, frame, pyramid, global_T_frame):
+        """CreateKeyframe analog (bad_slam.cc:957-1101)."""
+        kf_id = self.direct_ba.add_keyframe(frame, global_T_frame, frame_index)
+        if self.base_kf_id is None:
+            # First keyframe: bootstrap surfels without filtering.
+            self.direct_ba.create_surfels_for_keyframe(
+                kf_id, filter_new_surfels=False
+            )
+        self.base_kf_id = kf_id
+        self.base_kf_global_T_frame = global_T_frame
+        self.base_kf_pyramid = pyramid
+        self.base_kf_tr_frame = [se3.identity()]
+        return kf_id
+
+    def _apply_ba_pose_updates(self):
+        """After BA: refresh base-keyframe pose and deform the trajectory of
+        non-keyframe frames (bad_slam.cc:485-540)."""
+        ks = self.direct_ba.keyframes
+        old_base = self.base_kf_global_T_frame
+        new_base = ks.pose(self.base_kf_id)
+        self.base_kf_global_T_frame = new_base
+
+        # Trajectory deformation: propagate keyframe pose changes to
+        # in-between frames (trajectory_deformation.cc analog) — done lazily
+        # here by re-anchoring frames tracked against the base keyframe.
+        correction = se3.mul(new_base, se3.inverse(old_base))
+        kf_frames = set(ks.frame_indices[: ks.count])
+        for i in range(self.last_frame_index + 1):
+            pose = self.frame_poses[i]
+            if pose is None:
+                continue
+            if i in kf_frames:
+                # Exact keyframe pose from BA.
+                kf_id = ks.frame_indices.index(i)
+                if ks.valid[kf_id]:
+                    self.frame_poses[i] = ks.pose(kf_id)
+            else:
+                self.frame_poses[i] = se3.mul(correction, pose)
+            self.video.set_pose(i, self.frame_poses[i])
+
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        start: Optional[int] = None,
+        end: Optional[int] = None,
+        progress: bool = False,
+    ) -> None:
+        """Process a frame range (the main.cc frame loop)."""
+        c = self.config
+        start = c.start_frame if start is None else start
+        end = min(len(self.video), c.end_frame) if end is None else end
+        for i in range(start, end):
+            t0 = time.perf_counter()
+            self.process_frame(i)
+            self.video.clear_frame(i)
+            if progress:
+                dt = time.perf_counter() - t0
+                print(
+                    f"frame {i}: {1.0 / max(dt, 1e-9):.1f} FPS, "
+                    f"{self.direct_ba.surfel_count} surfels", flush=True,
+                )
+            if c.target_frame_rate > 0:
+                budget = 1.0 / c.target_frame_rate
+                dt = time.perf_counter() - t0
+                if dt < budget:
+                    time.sleep(budget - dt)
+
+    def final_bundle_adjustment(
+        self, window_size: int = 16, window_stride: int = 8
+    ) -> None:
+        """Post-loop final BA: sliding windows then global passes
+        (main.cc:765-809)."""
+        kf_count = self.direct_ba.keyframes.count
+        if kf_count == 0:
+            return
+        lo = 0
+        while lo < kf_count:
+            hi = min(lo + window_size - 1, kf_count - 1)
+            self.direct_ba.bundle_adjustment(
+                max_iterations=10,
+                active_keyframe_window=(lo, hi),
+            )
+            if hi == kf_count - 1:
+                break
+            lo += window_stride
+        self.direct_ba.bundle_adjustment(
+            max_iterations=10,
+            active_keyframe_window=(0, kf_count - 1),
+        )
+        self._apply_ba_pose_updates()
+        self.final_ba_done = True
+
+    def export_trajectory(self, path: str) -> None:
+        from badslam_tpu.io.dataset import save_tum_trajectory
+
+        save_tum_trajectory(
+            path, self.video.timestamps, self.frame_poses
+        )
+
+    def export_point_cloud(self, path: str) -> None:
+        from badslam_tpu.io.ply import save_ply
+
+        pos, nrm, col = self.direct_ba.export_point_cloud()
+        save_ply(path, pos, nrm, col)

@@ -1,0 +1,174 @@
+"""RGB-D dataset IO: TUM / ETH3D format with lazy frame loading.
+
+Rebuild of ReadTUMRGBDDatasetAssociatedAndCalibrated + RGBDVideo +
+ImageCache (/root/reference/libvis/src/libvis/rgbd_video_io_tum_dataset.h:74-242,
+rgbd_video.h:39-72, image_cache.h). Expected directory layout:
+
+  dataset/
+    calibration.txt     # "fx fy cx cy" (pixel-corner convention)
+    associated.txt      # "rgb_ts rgb_file depth_ts depth_file" per line
+    rgb/*.png, depth/*.png (16-bit, raw_to_float scaling, default 1/5000)
+    [trajectory file]   # optional TUM format "ts tx ty tz qx qy qz qw"
+
+Frames load lazily and can be dropped again (`clear_frame`) to bound RAM,
+like the reference's ClearImageAndDerivedData (main.cc:753-754).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from badslam_tpu.geometry import se3
+from badslam_tpu.geometry.camera import PinholeCamera
+
+
+def _imread_depth(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 3:
+        img = img[..., 0]
+    return img.astype(np.uint16)
+
+
+def _imread_color(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img[..., ::-1].copy()  # BGR -> RGB
+
+
+@dataclass
+class RGBDVideo:
+    """Lazy-loading RGB-D sequence + cameras + per-frame poses."""
+
+    base_path: str
+    color_paths: List[str]
+    depth_paths: List[str]
+    timestamps: List[float]
+    camera: PinholeCamera
+    depth_camera: Optional[PinholeCamera] = None
+    # global_T_frame per frame; identity until tracked (or loaded GT).
+    poses: List[Optional[se3.SE3]] = field(default_factory=list)
+    _color_cache: Dict[int, np.ndarray] = field(default_factory=dict)
+    _depth_cache: Dict[int, np.ndarray] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.poses:
+            self.poses = [None] * len(self.color_paths)
+        if self.depth_camera is None:
+            self.depth_camera = self.camera
+
+    def __len__(self) -> int:
+        return len(self.color_paths)
+
+    def depth_u16(self, index: int) -> np.ndarray:
+        if index not in self._depth_cache:
+            self._depth_cache[index] = _imread_depth(self.depth_paths[index])
+        return self._depth_cache[index]
+
+    def color_u8(self, index: int) -> np.ndarray:
+        if index not in self._color_cache:
+            self._color_cache[index] = _imread_color(self.color_paths[index])
+        return self._color_cache[index]
+
+    def clear_frame(self, index: int) -> None:
+        self._color_cache.pop(index, None)
+        self._depth_cache.pop(index, None)
+
+    def set_pose(self, index: int, pose: se3.SE3) -> None:
+        self.poses[index] = pose
+
+
+def load_tum_trajectory(path: str) -> Tuple[List[float], List[se3.SE3]]:
+    """TUM trajectory file: ts tx ty tz qx qy qz qw (global_T_frame)."""
+    import jax.numpy as jnp
+
+    timestamps, poses = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            ts = float(parts[0])
+            tx, ty, tz, qx, qy, qz, qw = (float(v) for v in parts[1:8])
+            timestamps.append(ts)
+            poses.append(
+                se3.SE3(
+                    jnp.array([qw, qx, qy, qz], jnp.float32),
+                    jnp.array([tx, ty, tz], jnp.float32),
+                )
+            )
+    return timestamps, poses
+
+
+def load_tum_dataset(
+    path: str,
+    trajectory_filename: Optional[str] = None,
+) -> RGBDVideo:
+    calib_path = os.path.join(path, "calibration.txt")
+    with open(calib_path) as f:
+        fx, fy, cx, cy = (float(v) for v in f.readline().split()[:4])
+
+    color_paths: List[str] = []
+    depth_paths: List[str] = []
+    timestamps: List[float] = []
+    with open(os.path.join(path, "associated.txt")) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            rgb_ts, rgb_file, depth_ts, depth_file = line.split()[:4]
+            color_paths.append(os.path.join(path, rgb_file))
+            depth_paths.append(os.path.join(path, depth_file))
+            timestamps.append(float(rgb_ts))
+
+    if not color_paths:
+        raise ValueError(f"empty associated.txt in {path}")
+
+    # Image size from the first frame.
+    first = _imread_depth(depth_paths[0])
+    h, w = first.shape
+    camera = PinholeCamera(fx=fx, fy=fy, cx=cx, cy=cy, width=w, height=h)
+
+    video = RGBDVideo(
+        base_path=path,
+        color_paths=color_paths,
+        depth_paths=depth_paths,
+        timestamps=timestamps,
+        camera=camera,
+    )
+    video._depth_cache[0] = first
+
+    if trajectory_filename:
+        ts, poses = load_tum_trajectory(os.path.join(path, trajectory_filename))
+        # Associate by nearest timestamp (reference slerp-interpolates; the
+        # nearest-pose association suffices for initialization purposes).
+        ts_arr = np.array(ts)
+        for i, t in enumerate(timestamps):
+            j = int(np.argmin(np.abs(ts_arr - t)))
+            video.poses[i] = poses[j]
+    return video
+
+
+def save_tum_trajectory(path: str, timestamps, poses) -> None:
+    """Write poses in TUM format (SavePoses analog, io.cc) for ETH3D
+    benchmark submission via --export_poses."""
+    with open(path, "w") as f:
+        for ts, pose in zip(timestamps, poses):
+            if pose is None:
+                continue
+            q = np.asarray(pose.q, np.float64)
+            t = np.asarray(pose.t, np.float64)
+            f.write(
+                f"{ts} {t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]}\n"
+            )

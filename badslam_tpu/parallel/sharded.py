@@ -1,0 +1,215 @@
+"""Multi-chip SPMD sharding of the BA back-end over a jax Mesh.
+
+The reference is strictly single-GPU (SURVEY.md sections 2.8/2.9 — no
+NCCL/MPI anywhere); this module is the TPU-native scaling extension: BA
+work is sharded over ICI with jax.shard_map + XLA collectives.
+
+Decomposition (axis name "d"):
+  * Pose optimization is embarrassingly parallel over KEYFRAMES given a
+    fixed map (the alternating scheme optimizes each pose independently,
+    direct_ba_alternating.cc:543-577) -> shard the keyframe axis, replicate
+    the surfel map, no collectives.
+  * Geometry optimization is embarrassingly parallel over SURFELS given
+    fixed poses (per-surfel accumulators, kernel_opt_geometry.cu) -> shard
+    the surfel axis, replicate keyframe planes, no collectives.
+  * Tracking / single-pose GN accumulation reduces one 6x6 system over all
+    pixels -> shard image rows, psum the [7,7] moment matrix over ICI
+    (27 floats — latency-bound, negligible).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from badslam_tpu.geometry import se3
+from badslam_tpu.geometry.camera import PinholeCamera
+from badslam_tpu.mapping.keyframes import KeyframeStack
+from badslam_tpu.mapping.surfels import SurfelMap
+from badslam_tpu.ba.geometry_opt import optimize_geometry_iteration
+from badslam_tpu.ba.pose_opt import (
+    PoseOptResult,
+    optimize_keyframe_poses,
+    surfel_pose_coeffs,
+)
+
+AXIS = "d"
+
+
+def make_mesh(n_devices: int = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Keyframe-parallel pose optimization
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "cam", "baseline_fx", "use_depth",
+                     "use_descriptor", "max_iterations"),
+)
+def optimize_keyframe_poses_sharded(
+    mesh: Mesh,
+    smap: SurfelMap,
+    cam: PinholeCamera,
+    kstack: KeyframeStack,
+    baseline_fx: float = 40.0,
+    use_depth: bool = True,
+    use_descriptor: bool = True,
+    max_iterations: int = 30,
+) -> PoseOptResult:
+    """Pose opt with the keyframe axis sharded across the mesh.
+
+    Each device scans its local keyframe shard against the replicated map;
+    results gather back along the keyframe axis. Requires K % n_devices == 0
+    (hosts pad the stack with masked slots).
+    """
+
+    def local(smap_, kstack_):
+        return optimize_keyframe_poses.__wrapped__(
+            smap_, cam, kstack_, baseline_fx, use_depth, use_descriptor,
+            max_iterations,
+        )
+
+    kf_spec = KeyframeStack(
+        depth=P(AXIS), nx=P(AXIS), ny=P(AXIS), radius2=P(AXIS),
+        intensity=P(AXIS), q=P(AXIS), t=P(AXIS), mask=P(AXIS),
+    )
+    out_spec = PoseOptResult(q=P(AXIS), t=P(AXIS), moved=P(AXIS))
+    smap_spec = jax.tree.map(lambda _: P(), smap)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(smap_spec, kf_spec),
+        out_specs=out_spec,
+        check_vma=False,  # loop-carry constants are unvarying by design
+    )
+    return fn(smap, kstack)
+
+
+# ---------------------------------------------------------------------------
+# Surfel-parallel geometry optimization
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "cam", "baseline_fx", "use_depth",
+                     "use_descriptor"),
+)
+def optimize_geometry_sharded(
+    mesh: Mesh,
+    smap: SurfelMap,
+    cam: PinholeCamera,
+    kstack: KeyframeStack,
+    baseline_fx: float = 40.0,
+    use_depth: bool = True,
+    use_descriptor: bool = True,
+) -> SurfelMap:
+    """Geometry step with the surfel axis sharded across the mesh."""
+
+    def local(smap_, kstack_):
+        out = optimize_geometry_iteration.__wrapped__(
+            smap_, cam, kstack_, baseline_fx, use_depth, use_descriptor
+        )
+        # count is replicated state; keep each shard's local count out of it.
+        return out._replace(count=smap_.count)
+
+    smap_spec = SurfelMap(
+        pos=P(AXIS), normal=P(AXIS), radius2=P(AXIS), color=P(AXIS),
+        desc=P(AXIS), valid=P(AXIS), active=P(AXIS), count=P(),
+    )
+    kf_spec = jax.tree.map(lambda _: P(), kstack)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(smap_spec, kf_spec),
+        out_specs=smap_spec,
+        check_vma=False,
+    )
+    return fn(smap, kstack)
+
+
+# ---------------------------------------------------------------------------
+# Pixel-parallel single-pose GN (tracking-style) with psum
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "cam", "baseline_fx", "use_depth",
+                     "use_descriptor", "max_iterations"),
+)
+def estimate_pose_sharded(
+    mesh: Mesh,
+    smap: SurfelMap,
+    cam: PinholeCamera,
+    kf_q: jax.Array,
+    kf_t: jax.Array,
+    depth: jax.Array,
+    f_nx: jax.Array,
+    f_ny: jax.Array,
+    intensity: jax.Array,
+    baseline_fx: float = 40.0,
+    use_depth: bool = True,
+    use_descriptor: bool = True,
+    max_iterations: int = 30,
+) -> Tuple[jax.Array, jax.Array]:
+    """One keyframe's pose GN with the SURFEL axis sharded: each device
+    accumulates partial H/b over its surfel shard, psums over ICI, and all
+    devices apply the identical (replicated) pose update."""
+    from badslam_tpu.ba.pose_opt import is_scale1_converged
+    from badslam_tpu.geometry.linalg import solve_psd
+
+    def local(smap_, q0, t0, d, fx_, fy_, inten):
+        def cond(carry):
+            _, _, it, conv = carry
+            return (it < max_iterations) & jnp.logical_not(conv)
+
+        def body(carry):
+            q, t, it, _ = carry
+            H, b, count = surfel_pose_coeffs(
+                smap_, cam, q, t, d, fx_, fy_, inten,
+                baseline_fx, use_depth, use_descriptor,
+            )
+            H = jax.lax.psum(H, AXIS)
+            b = jax.lax.psum(b, AXIS)
+            count = jax.lax.psum(count, AXIS)
+            ok = count > 6
+            Hs = jnp.where(ok, H, jnp.eye(6, dtype=H.dtype))
+            x = solve_psd(Hs, b)
+            x = jnp.where(ok & jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
+            upd = se3.mul(se3.SE3(q, t), se3.exp(-x))
+            return upd.q, upd.t, it + 1, is_scale1_converged(x)
+
+        q, t, _, _ = jax.lax.while_loop(
+            cond, body,
+            (q0, t0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)),
+        )
+        return q, t
+
+    smap_spec = SurfelMap(
+        pos=P(AXIS), normal=P(AXIS), radius2=P(AXIS), color=P(AXIS),
+        desc=P(AXIS), valid=P(AXIS), active=P(AXIS), count=P(),
+    )
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(smap_spec, P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(smap, kf_q, kf_t, depth, f_nx, f_ny, intensity)

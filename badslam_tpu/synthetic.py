@@ -1,0 +1,202 @@
+"""Synthetic analytic scenes for round-trip tests.
+
+Re-creates the reference's test fixture pattern (e.g.
+/root/reference/applications/badslam/src/badslam/test/
+test_pose_optimization_geometric_residual.cc:50-174): a few analytic planes
+rendered into depth maps, a smooth world-space intensity function for
+photometric cues, ground-truth poses perturbed and recovered.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import numpy as np
+
+from badslam_tpu.geometry.camera import PinholeCamera
+from badslam_tpu.geometry import se3
+import jax.numpy as jnp
+
+
+class PlaneScene(NamedTuple):
+    points: np.ndarray   # [P, 3] a point on each plane (world frame)
+    normals: np.ndarray  # [P, 3] unit normals
+
+
+def default_camera(width: int = 320, height: int = 240) -> PinholeCamera:
+    # fx/fy chosen VGA-like, corner-convention principal point at center.
+    f = 0.55 * width
+    return PinholeCamera(fx=f, fy=f, cx=width / 2.0, cy=height / 2.0,
+                         width=width, height=height)
+
+
+def random_plane_scene(rng: np.random.Generator, num_planes: int = 3) -> PlaneScene:
+    """Planes roughly facing the camera at ~2m depth (like the reference test)."""
+    points = np.stack(
+        [
+            rng.uniform(-0.5, 0.5, num_planes),
+            rng.uniform(-0.5, 0.5, num_planes),
+            rng.uniform(1.7, 2.3, num_planes),
+        ],
+        axis=-1,
+    )
+    normals = rng.normal(size=(num_planes, 3))
+    normals[:, 2] = -np.abs(normals[:, 2]) - 1.5  # face the camera
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    return PlaneScene(points.astype(np.float32), normals.astype(np.float32))
+
+
+def intensity_at(points: np.ndarray) -> np.ndarray:
+    """Smooth, locally-varying world-space albedo in [0, 1]."""
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    v = (
+        0.5
+        + 0.17 * np.sin(9.0 * x + 3.0 * z)
+        + 0.17 * np.cos(8.0 * y - 2.0 * x)
+        + 0.12 * np.sin(6.0 * (x + y + z))
+    )
+    v = np.clip(v, 0.0, 1.0)
+    # Quantize to the u8 grid like real inputs.
+    return np.floor(v * 255.0 + 0.5) / 255.0
+
+
+def render_scene(
+    cam: PinholeCamera,
+    scene: PlaneScene,
+    world_T_frame: se3.SE3,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Ray-cast the plane scene. Returns (depth [H,W] f32, intensity [H,W] f32).
+
+    Depth is the z-depth of the nearest plane intersection in front of the
+    camera; pixels hitting no plane get 0.
+    """
+    w2f = se3.inverse(world_T_frame)
+    R_fw = np.asarray(se3.quat_to_matrix(w2f.q))
+    t_fw = np.asarray(w2f.t)
+
+    # Plane into camera frame: n_c = R n_w; p_c = R p_w + t
+    n_c = scene.normals @ R_fw.T
+    p_c = scene.points @ R_fw.T + t_fw
+
+    ys, xs = np.mgrid[0 : cam.height, 0 : cam.width]
+    dx = cam.fx_inv * xs + cam.cx_inv
+    dy = cam.fy_inv * ys + cam.cy_inv
+    # Ray direction (dx, dy, 1); z-depth d solves n·(d*dir - p) = 0.
+    best = np.full((cam.height, cam.width), np.inf, np.float32)
+    for i in range(len(scene.points)):
+        denom = n_c[i, 0] * dx + n_c[i, 1] * dy + n_c[i, 2]
+        num = n_c[i] @ p_c[i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = num / denom
+        d = np.where((np.abs(denom) > 1e-9) & (d > 0.05), d, np.inf)
+        best = np.minimum(best, d.astype(np.float32))
+
+    depth = np.where(np.isfinite(best), best, 0.0).astype(np.float32)
+
+    # Intensity from world-space position of the hit point.
+    pts_cam = np.stack([depth * dx, depth * dy, depth], axis=-1)
+    R_wf = np.asarray(se3.quat_to_matrix(world_T_frame.q))
+    pts_world = pts_cam @ R_wf.T + np.asarray(world_T_frame.t)
+    inten = intensity_at(pts_world).astype(np.float32)
+    inten = np.where(depth > 0, inten, 0.0)
+    return depth, inten
+
+
+def pose(tx=0.0, ty=0.0, tz=0.0, rx=0.0, ry=0.0, rz=0.0) -> se3.SE3:
+    return se3.exp(jnp.array([tx, ty, tz, rx, ry, rz], jnp.float32))
+
+
+def frame_from_render(cam, depth, intensity):
+    """ProcessedFrame from ground-truth renders (no bilateral smoothing),
+    like the reference's test-only Keyframe CPU constructor
+    (keyframe.h:93-100)."""
+    from badslam_tpu.ops.preprocess import (
+        ProcessedFrame,
+        compute_normals,
+        compute_radii_and_remove_isolated,
+    )
+
+    d = jnp.array(depth)
+    d1, nx, ny = compute_normals(cam, d)
+    d2, r2 = compute_radii_and_remove_isolated(cam, d1)
+    keep = d2 > 0
+    return ProcessedFrame(
+        depth=d2,
+        nx=jnp.where(keep, nx, 0.0),
+        ny=jnp.where(keep, ny, 0.0),
+        radius2=r2,
+        intensity=jnp.array(intensity),
+    )
+
+
+def smooth_trajectory(num_frames: int, scale: float = 0.004):
+    """GT poses along a smooth arc (world_T_frame per frame)."""
+    poses = []
+    for i in range(num_frames):
+        s = i * scale
+        poses.append(
+            pose(tx=3.0 * s, ty=0.8 * np.sin(0.15 * i) * s, tz=-1.2 * s,
+                 ry=2.0 * s, rz=0.5 * s)
+        )
+    return poses
+
+
+def write_tum_dataset(
+    path: str,
+    cam: PinholeCamera,
+    scene: PlaneScene,
+    poses: Sequence[se3.SE3],
+    raw_to_float_depth: float = 1.0 / 5000.0,
+    write_gt: bool = True,
+) -> None:
+    """Write a synthetic TUM/ETH3D-format dataset directory: calibration.txt,
+    associated.txt, rgb/depth 16-bit PNGs, optional groundtruth.txt."""
+    import os
+
+    import cv2
+
+    os.makedirs(os.path.join(path, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(path, "depth"), exist_ok=True)
+    with open(os.path.join(path, "calibration.txt"), "w") as f:
+        f.write(f"{cam.fx} {cam.fy} {cam.cx} {cam.cy}\n")
+
+    assoc_lines = []
+    gt_lines = []
+    for i, world_T_frame in enumerate(poses):
+        depth, inten = render_scene(cam, scene, world_T_frame)
+        depth_u16 = np.clip(depth / raw_to_float_depth, 0, 65535).astype(
+            np.uint16
+        )
+        gray = np.clip(inten * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        rgb = np.stack([gray, gray, gray], axis=-1)
+        ts = f"{i / 30.0:.6f}"
+        rgb_rel = f"rgb/{i:05d}.png"
+        depth_rel = f"depth/{i:05d}.png"
+        cv2.imwrite(os.path.join(path, rgb_rel), rgb)
+        cv2.imwrite(os.path.join(path, depth_rel), depth_u16)
+        assoc_lines.append(f"{ts} {rgb_rel} {ts} {depth_rel}")
+        q = np.asarray(world_T_frame.q, np.float64)
+        t = np.asarray(world_T_frame.t, np.float64)
+        gt_lines.append(
+            f"{ts} {t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]}"
+        )
+
+    with open(os.path.join(path, "associated.txt"), "w") as f:
+        f.write("\n".join(assoc_lines) + "\n")
+    if write_gt:
+        with open(os.path.join(path, "groundtruth.txt"), "w") as f:
+            f.write("\n".join(gt_lines) + "\n")
+
+
+def ate_rmse(est_poses, gt_poses) -> float:
+    """ATE RMSE after SE3 alignment (Horn; the ETH3D benchmark metric)."""
+    est = np.array([np.asarray(p.t, np.float64) for p in est_poses])
+    gt = np.array([np.asarray(p.t, np.float64) for p in gt_poses])
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    E, G = est - mu_e, gt - mu_g
+    U, _, Vt = np.linalg.svd(E.T @ G)
+    S = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+    R = (U @ S @ Vt).T
+    t = mu_g - R @ mu_e
+    aligned = est @ R.T + t
+    return float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=-1))))

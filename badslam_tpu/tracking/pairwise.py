@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from badslam_tpu.geometry import se3
 from badslam_tpu.geometry.camera import PinholeCamera
+from badslam_tpu.geometry.linalg import solve_psd
 from badslam_tpu.ops import robust
 from badslam_tpu.ops.interp import bilinear_and_gradient, gather_nearest
 from badslam_tpu.ops.preprocess import normal_z, shift2d
@@ -279,7 +280,11 @@ def _accumulate_h_b(res, use_depth: bool, use_descriptor: bool):
     for jac, r, wt in terms:
         A = jnp.stack(jac + [r], axis=-1).reshape(-1, 7).astype(jnp.float32)
         wA = A * wt.reshape(-1, 1).astype(jnp.float32)
-        M = jnp.einsum("pi,pj->ij", wA, A, preferred_element_type=jnp.float32)
+        M = jnp.einsum(
+            "pi,pj->ij", wA, A,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         H = H + M[:6, :6]
         b = b + M[:6, 6]
     return H, b
@@ -383,9 +388,7 @@ def _gn_level(
         # Guard the solve: with no residuals, keep the pose.
         ok = count > 6
         Hs = jnp.where(ok, H, jnp.eye(6, dtype=H.dtype))
-        x = jax.scipy.linalg.solve(
-            Hs + 1e-12 * jnp.eye(6, dtype=H.dtype), b, assume_a="pos"
-        )
+        x = solve_psd(Hs, b)
         x = jnp.where(ok & jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
         upd = se3.mul(se3.SE3(q, t), se3.exp(-damping * x))
         conv = _is_converged(x, scaling_factor)

@@ -1,0 +1,40 @@
+"""Full-pipeline integration test: synthetic TUM dataset -> CLI -> ATE.
+
+The reference has no such test (SURVEY.md §4 "What's absent"); it validates
+externally on the ETH3D benchmark. Here a rendered plane-scene sequence
+with known ground truth closes that gap: dataset IO, preprocessing,
+odometry, keyframing, bundle adjustment, trajectory deformation, and the
+TUM/PLY exports all run in one pass.
+"""
+
+import os
+
+import numpy as np
+
+from badslam_tpu import synthetic as syn
+from badslam_tpu.cli import main
+from badslam_tpu.io.dataset import load_tum_trajectory
+
+
+def test_cli_end_to_end(tmp_path):
+    path = str(tmp_path / "dataset")
+    cam = syn.default_camera(160, 120)
+    scene = syn.random_plane_scene(np.random.default_rng(5), 6)
+    gt = syn.smooth_trajectory(24)
+    syn.write_tum_dataset(path, cam, scene, gt)
+
+    est_path = str(tmp_path / "est.txt")
+    ply_path = str(tmp_path / "map.ply")
+    rc = main([
+        path, "--num_scales", "4", "--max_surfel_count", str(1 << 14),
+        "--keyframe_interval", "6",
+        "--export_poses", est_path, "--export_point_cloud", ply_path,
+        "--quiet",
+    ])
+    assert rc == 0
+
+    _, est = load_tum_trajectory(est_path)
+    assert len(est) == len(gt)
+    rmse = syn.ate_rmse(est, gt)
+    assert rmse < 0.01, rmse
+    assert os.path.getsize(ply_path) > 1000

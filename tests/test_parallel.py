@@ -1,0 +1,107 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: sharded BA
+stages must produce the same results as the single-device programs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from badslam_tpu.ba.geometry_opt import optimize_geometry_iteration
+from badslam_tpu.ba.pose_opt import optimize_keyframe_poses
+from badslam_tpu.ba.scheme import DirectBA
+from badslam_tpu.config import BadSlamConfig
+from badslam_tpu.geometry import se3
+from badslam_tpu.parallel import (
+    estimate_pose_sharded,
+    make_mesh,
+    optimize_geometry_sharded,
+    optimize_keyframe_poses_sharded,
+)
+
+import fixtures
+import synthetic
+
+CAP = 1 << 13  # divisible by 8
+
+
+def build_scene():
+    rng = np.random.default_rng(41)
+    cam = synthetic.default_camera(128, 96)
+    scene = synthetic.random_plane_scene(rng, 3)
+    cfg = BadSlamConfig(max_surfel_count=CAP)
+    ba = DirectBA(cam, cfg, surfel_capacity=CAP)
+    gt = [se3.identity(), synthetic.pose(tx=0.03, rz=0.01),
+          synthetic.pose(tx=0.05, ty=0.02), synthetic.pose(ty=-0.03),
+          synthetic.pose(tz=0.02), synthetic.pose(tx=-0.02, ry=0.01),
+          synthetic.pose(ty=0.04, rx=-0.01), synthetic.pose(tx=0.01, tz=-0.02)]
+    for i, g in enumerate(gt):
+        d, inten = synthetic.render_scene(cam, scene, g)
+        ba.add_keyframe(fixtures.frame_from_render(cam, d, inten), g, i)
+    ba.create_surfels_for_keyframe(0, filter_new_surfels=False)
+    ba.surfels = ba.surfels._replace(active=ba.surfels.valid)
+    return cam, ba, gt
+
+
+@pytest.fixture(scope="module")
+def scene():
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    return build_scene()
+
+
+def test_pose_opt_sharded_matches_single(scene):
+    cam, ba, gt = scene
+    mesh = make_mesh(8)
+    # Perturb all 8 keyframe poses.
+    for i in range(8):
+        ba.keyframes.set_pose(
+            i, se3.mul(gt[i], synthetic.pose(tx=0.003 * ((i % 3) - 1),
+                                             rz=0.001 * (i % 2)))
+        )
+    ks = ba.keyframes.stack(list(range(8)))
+    ref = optimize_keyframe_poses(ba.surfels, cam, ks)
+    shd = optimize_keyframe_poses_sharded(mesh, ba.surfels, cam, ks)
+    np.testing.assert_allclose(
+        np.asarray(shd.t), np.asarray(ref.t), atol=1e-5
+    )
+    qr, qs = np.asarray(ref.q), np.asarray(shd.q)
+    sign = np.sign(np.sum(qr * qs, axis=-1, keepdims=True))
+    np.testing.assert_allclose(qs * sign, qr, atol=1e-5)
+
+
+def test_geometry_opt_sharded_matches_single(scene):
+    cam, ba, gt = scene
+    mesh = make_mesh(8)
+    for i in range(8):
+        ba.keyframes.set_pose(i, gt[i])
+    ks = ba.keyframes.stack(list(range(8)))
+    noise = 0.004 * jnp.array(
+        np.random.default_rng(7).uniform(-1, 1, (ba.surfels.capacity,)),
+        jnp.float32,
+    )
+    m = ba.surfels._replace(
+        pos=ba.surfels.pos + noise[:, None] * ba.surfels.normal
+    )
+    ref = optimize_geometry_iteration(m, cam, ks)
+    shd = optimize_geometry_sharded(mesh, m, cam, ks)
+    v = np.asarray(ref.valid)
+    np.testing.assert_allclose(
+        np.asarray(shd.pos)[v], np.asarray(ref.pos)[v], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(shd.desc)[v], np.asarray(ref.desc)[v], atol=1e-4
+    )
+
+
+def test_estimate_pose_sharded_psum(scene):
+    cam, ba, gt = scene
+    mesh = make_mesh(8)
+    ks = ba.keyframes
+    pert = se3.mul(gt[1], synthetic.pose(tx=0.004, rz=0.002))
+    q, t = estimate_pose_sharded(
+        mesh, ba.surfels, cam, pert.q, pert.t,
+        ks.depth[1], ks.nx[1], ks.ny[1], ks.intensity[1],
+    )
+    err = float(jnp.linalg.norm(se3.log(
+        se3.mul(se3.inverse(se3.SE3(q, t)), gt[1])
+    )))
+    assert err < 2e-4, err
