@@ -48,7 +48,7 @@ def _assoc(smap, cam, q, t, d, fx_, fy_, baseline_fx):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "baseline_fx"))
+@functools.partial(jax.jit, static_argnames=("baseline_fx",))
 def update_surfel_normals(
     smap: SurfelMap, cam: PinholeCamera, kstack: KeyframeStack,
     baseline_fx: float,
@@ -86,7 +86,7 @@ def update_surfel_normals(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "baseline_fx", "use_depth", "use_descriptor"),
+    static_argnames=("baseline_fx", "use_depth", "use_descriptor"),
 )
 def optimize_geometry_iteration(
     smap: SurfelMap,

@@ -169,7 +169,7 @@ class PoseOptResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "baseline_fx", "use_depth", "use_descriptor",
+    static_argnames=("baseline_fx", "use_depth", "use_descriptor",
                      "max_iterations"),
 )
 def optimize_keyframe_poses(

@@ -29,6 +29,11 @@ from badslam_tpu.mapping import surfels as sf
 from badslam_tpu.mapping.frustum import Frustum
 from badslam_tpu.mapping.keyframes import KeyframeStore
 from badslam_tpu.ba.geometry_opt import optimize_geometry_iteration
+from badslam_tpu.ba.intrinsics_opt import (
+    DepthParams,
+    empty_depth_params,
+    optimize_intrinsics,
+)
 from badslam_tpu.ba.pose_opt import optimize_keyframe_poses
 from badslam_tpu.ops.preprocess import ProcessedFrame
 from badslam_tpu.utils.timing import Timing
@@ -50,6 +55,11 @@ class DirectBA:
         )
         self.ba_iteration_count = 0
         self.last_ba_iteration_count = -1
+        # Depth-deformation self-calibration state (DepthParameters analog).
+        self.depth_params: DepthParams = empty_depth_params(
+            cam.height, cam.width, self.config.sparse_surfel_cell_size
+        )
+        self.intrinsics_updated = False
 
     # ------------------------------------------------------------------
     # Keyframe management
@@ -147,6 +157,35 @@ class DirectBA:
     # The alternating BA scheme
     # ------------------------------------------------------------------
 
+    def optimize_intrinsics_step(
+        self,
+        optimize_depth_intrinsics: bool = True,
+        optimize_color_intrinsics: bool = False,
+    ) -> None:
+        """One intrinsics/deformation GN step over all valid keyframes,
+        followed by keyframe-plane recalibration (the reference instead
+        re-calibrates lazily inside every kernel, util.cuh:62-79)."""
+        ks = self.keyframes
+        ids = ks.valid_ids()
+        if not ids or int(self.surfels.count) == 0:
+            return
+        kstack = ks.stack(ids)
+        raw = ks.stack_raw(ids)
+        c = self.config
+        self.cam, self.depth_params = optimize_intrinsics(
+            self.surfels, self.cam, kstack, raw, self.depth_params,
+            baseline_fx=c.baseline_fx,
+            cell_size=c.sparse_surfel_cell_size,
+            optimize_depth=optimize_depth_intrinsics,
+            optimize_color=optimize_color_intrinsics,
+        )
+        if optimize_depth_intrinsics:
+            ks.recalibrate(
+                self.cam, self.depth_params.a, self.depth_params.cfactor,
+                c.sparse_surfel_cell_size,
+            )
+        self.intrinsics_updated = True
+
     def bundle_adjustment(
         self,
         optimize_poses: bool = True,
@@ -157,6 +196,8 @@ class DirectBA:
         active_keyframe_window: Optional[tuple] = None,
         increase_ba_iteration_count: bool = True,
         time_limit: float = 0.0,
+        optimize_depth_intrinsics: bool = False,
+        optimize_color_intrinsics: bool = False,
     ) -> int:
         """Run the alternating scheme; returns iterations done."""
         c = self.config
@@ -264,6 +305,14 @@ class DirectBA:
                         else:
                             ks.activation[kf_id] = kfs.INACTIVE
                             num_converged += 1
+
+            # --- intrinsics optimization ---
+            if optimize_depth_intrinsics or optimize_color_intrinsics:
+                with Timing.time("BA intrinsics optimization"):
+                    self.optimize_intrinsics_step(
+                        optimize_depth_intrinsics and c.use_geometric_residuals,
+                        optimize_color_intrinsics and c.use_photometric_residuals,
+                    )
 
             # --- convergence ---
             if iteration >= min_iterations - 1 and (

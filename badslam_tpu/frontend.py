@@ -64,6 +64,7 @@ class BadSlam:
         self.last_frame_index = -1
         self.queued_ba_keyframes: List[int] = []
         self.final_ba_done = False
+        self.bundle_adjustment_counter = 0
 
     # ------------------------------------------------------------------
 
@@ -75,12 +76,16 @@ class BadSlam:
         depth = jnp.array(
             depth_u16.astype(np.float32) * c.raw_to_float_depth
         )
+        params = self.direct_ba.depth_params
         frame = preprocess_frame(
             self.cam, depth, jnp.array(rgb),
             max_depth=c.max_depth,
             sigma_xy=c.bilateral_filter_sigma_xy,
             radius_factor=c.bilateral_filter_radius_factor,
             sigma_inv_depth=c.bilateral_filter_sigma_inv_depth,
+            a=params.a,
+            cfactor=params.cfactor,
+            cell_size=c.sparse_surfel_cell_size,
         )
         pyramid = build_pyramid(
             frame.depth, frame.nx, frame.ny, frame.intensity, c.num_scales
@@ -157,12 +162,34 @@ class BadSlam:
             self.create_keyframe(frame_index, frame, pyramid, global_T_frame)
 
             if c.max_num_ba_iterations_per_keyframe > 0 and not is_first:
+                # Self-calibration gating: not before 10 keyframes (too
+                # little data), every BA run between 10 and 20, then every
+                # intrinsics_optimization_interval-th (bad_slam.cc:238-246).
+                kf_count = len(self.direct_ba.keyframes.valid_ids())
+                opt_intr = (
+                    c.optimize_intrinsics
+                    and kf_count >= 10
+                    and (kf_count <= 20
+                         or self.bundle_adjustment_counter
+                         % c.intrinsics_optimization_interval == 0)
+                )
+                self.bundle_adjustment_counter += 1
                 with Timing.time("bundle adjustment"):
                     self.direct_ba.bundle_adjustment(
                         max_iterations=c.max_num_ba_iterations_per_keyframe,
                         do_surfel_updates=c.do_surfel_updates,
+                        optimize_depth_intrinsics=(
+                            opt_intr and c.use_geometric_residuals),
+                        optimize_color_intrinsics=(
+                            opt_intr and c.use_photometric_residuals),
                     )
                 self._apply_ba_pose_updates()
+                if self.direct_ba.intrinsics_updated:
+                    self.cam = self.direct_ba.cam
+                    self.cams_pyramid = tuple(
+                        self.cam.pyramid_level(i) for i in range(c.num_scales)
+                    )
+                    self.direct_ba.intrinsics_updated = False
 
         return self.frame_poses[frame_index]
 

@@ -17,13 +17,20 @@ Scaling by 0.5 per pyramid level is exact in the corner convention
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import dataclasses
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 
-class PinholeCamera(NamedTuple):
+@dataclasses.dataclass(frozen=True)
+class PinholeCamera:
+    """Pytree camera: fx/fy/cx/cy are DATA leaves (traced under jit — the
+    intrinsics are optimization parameters during self-calibration, and
+    tracing them avoids a full recompile cascade on every intrinsics
+    update); width/height are STATIC metadata (shape-determining)."""
+
     fx: float
     fy: float
     cx: float  # pixel-corner convention
@@ -124,6 +131,26 @@ class PinholeCamera(NamedTuple):
         pix = jnp.stack([jnp.clip(px, 0, self.width - 1),
                          jnp.clip(py, 0, self.height - 1)], axis=-1)
         return pxy, pix, valid
+
+    def with_intrinsics(self, fx, fy, cx, cy) -> "PinholeCamera":
+        return PinholeCamera(fx=fx, fy=fy, cx=cx, cy=cy,
+                             width=self.width, height=self.height)
+
+    def concrete(self) -> "PinholeCamera":
+        """Host camera with python-float intrinsics (e.g. after an
+        intrinsics-optimization update produced device scalars)."""
+        return PinholeCamera(
+            fx=float(self.fx), fy=float(self.fy),
+            cx=float(self.cx), cy=float(self.cy),
+            width=self.width, height=self.height,
+        )
+
+
+jax.tree_util.register_dataclass(
+    PinholeCamera,
+    data_fields=("fx", "fy", "cx", "cy"),
+    meta_fields=("width", "height"),
+)
 
 
 def pixel_grid(height: int, width: int, dtype=jnp.float32):

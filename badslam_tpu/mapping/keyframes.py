@@ -55,6 +55,7 @@ class KeyframeStore:
 
     # device stacks (allocated lazily on first keyframe)
     depth: Optional[jax.Array] = None
+    raw_depth: Optional[jax.Array] = None  # pre-deformation metric depth
     nx: Optional[jax.Array] = None
     ny: Optional[jax.Array] = None
     radius2: Optional[jax.Array] = None
@@ -88,6 +89,7 @@ class KeyframeStore:
             return jnp.concatenate([arr, fresh[arr.shape[0]:]], axis=0)
 
         self.depth = grow(self.depth, (new_cap, h, w))
+        self.raw_depth = grow(self.raw_depth, (new_cap, h, w))
         self.nx = grow(self.nx, (new_cap, h, w))
         self.ny = grow(self.ny, (new_cap, h, w))
         self.radius2 = grow(self.radius2, (new_cap, h, w))
@@ -114,6 +116,8 @@ class KeyframeStore:
         kf_id = self.count
         self._ensure_capacity(kf_id + 1)
         self.depth = self.depth.at[kf_id].set(frame.depth)
+        raw = frame.raw_depth if frame.raw_depth is not None else frame.depth
+        self.raw_depth = self.raw_depth.at[kf_id].set(raw)
         self.nx = self.nx.at[kf_id].set(frame.nx)
         self.ny = self.ny.at[kf_id].set(frame.ny)
         self.radius2 = self.radius2.at[kf_id].set(frame.radius2)
@@ -190,6 +194,42 @@ class KeyframeStore:
             jnp.take(self.t, gather, axis=0),
             jnp.array(mask),
         )
+
+    def stack_raw(self, ids: Optional[List[int]] = None) -> jax.Array:
+        """Raw (pre-deformation) depth planes aligned with stack(ids)."""
+        if ids is None:
+            return self.raw_depth
+        n = max(1, len(ids))
+        padded = 1
+        while padded < n:
+            padded *= 2
+        idx = np.zeros(padded, np.int32)
+        idx[:n] = np.array(ids, np.int32) if ids else 0
+        return jnp.take(self.raw_depth, jnp.array(idx), axis=0)
+
+    def recalibrate(self, cam, a, cfactor, cell_size: int) -> None:
+        """Re-derive calibrated depth / normals / radii for ALL keyframes
+        after a self-calibration update (one batched device pass).
+
+        Goes beyond the reference, which keeps creation-time normals/radii
+        stale and only re-calibrates depth on the fly in kernels
+        (util.cuh:62-79); refreshing everything here keeps all downstream
+        consumers consistent without per-use recalibration cost.
+        """
+        from badslam_tpu.ba.intrinsics_opt import recalibrate_planes
+
+        if self.raw_depth is None:
+            return
+        depth, nx, ny, radius2 = recalibrate_planes(
+            cam, self.raw_depth, a, cfactor, cell_size=cell_size
+        )
+        self.depth, self.nx, self.ny, self.radius2 = depth, nx, ny, radius2
+        for i in range(self.count):
+            d = np.asarray(depth[i])
+            v = d > 0
+            if v.any():
+                self.min_depth[i] = float(d[v].min())
+                self.max_depth[i] = float(d[v].max())
 
     def active_ids(self, include_covisible: bool = True) -> List[int]:
         out = []

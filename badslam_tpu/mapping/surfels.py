@@ -111,7 +111,7 @@ def occupied_cells(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cam", "baseline_fx", "cell_size")
+    jax.jit, static_argnames=("baseline_fx", "cell_size")
 )
 def merge_surfels_for_frame(
     smap: SurfelMap,
@@ -178,7 +178,7 @@ def merge_surfels_for_frame(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "baseline_fx", "cell_size", "filter_new_surfels"),
+    static_argnames=("baseline_fx", "cell_size", "filter_new_surfels"),
 )
 def create_surfels_for_keyframe(
     smap: SurfelMap,
@@ -320,7 +320,7 @@ def create_surfels_for_keyframe(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "baseline_fx"))
+@functools.partial(jax.jit, static_argnames=("baseline_fx",))
 def update_surfel_activation(
     smap: SurfelMap, cam: PinholeCamera, kstack: KeyframeStack,
     baseline_fx: float,
@@ -343,7 +343,7 @@ def update_surfel_activation(
     return smap._replace(active=active & smap.valid)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "baseline_fx"))
+@functools.partial(jax.jit, static_argnames=("baseline_fx",))
 def delete_surfels_and_update_radii(
     smap: SurfelMap,
     cam: PinholeCamera,

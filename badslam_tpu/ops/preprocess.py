@@ -30,11 +30,15 @@ from badslam_tpu.geometry.camera import PinholeCamera
 class ProcessedFrame(NamedTuple):
     """All derived per-frame data used by tracking / BA (finest scale)."""
 
-    depth: jax.Array      # [H, W] f32 meters, 0 = invalid
+    depth: jax.Array      # [H, W] f32 CALIBRATED meters, 0 = invalid
     nx: jax.Array         # [H, W] f32 image-space normal x
     ny: jax.Array         # [H, W] f32 image-space normal y
     radius2: jax.Array    # [H, W] f32 squared point radius (0 where invalid)
     intensity: jax.Array  # [H, W] f32 in [0, 1]
+    # Filtered metric depth BEFORE the deformation model — kept so keyframes
+    # can be re-calibrated when self-calibration updates (a, cfactor)
+    # (the reference keeps raw u16 depth per keyframe, keyframe.h:50-237).
+    raw_depth: jax.Array | None = None
 
 
 def shift2d(img: jax.Array, dy: int, dx: int, fill=0.0) -> jax.Array:
@@ -222,7 +226,7 @@ def compute_normals(
     ny = az * bx_ - ax * bz_
     nz = ax * by_ - ay * bx_
     length = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-    sign = -1.0 if cam.fy_inv < 0 else 1.0
+    sign = jnp.where(cam.fy_inv < 0, -1.0, 1.0)  # traced intrinsics
     inv_len = sign / jnp.maximum(length, 1e-30)
     degenerate = length <= 1e-6
     nx = jnp.where(degenerate, 0.0, nx * inv_len)
@@ -278,8 +282,9 @@ def compute_min_max_depth(depth: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return mn, mx
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "max_depth", "sigma_xy",
-                                             "radius_factor", "sigma_inv_depth"))
+@functools.partial(jax.jit, static_argnames=("max_depth", "sigma_xy",
+                                             "radius_factor", "sigma_inv_depth",
+                                             "cell_size"))
 def preprocess_frame(
     cam: PinholeCamera,
     depth_metric: jax.Array,
@@ -288,6 +293,9 @@ def preprocess_frame(
     sigma_xy: float = 1.5,
     radius_factor: float = 2.0,
     sigma_inv_depth: float = 0.005,
+    a: jax.Array | float = 0.0,
+    cfactor: Optional[jax.Array] = None,
+    cell_size: int = 4,
 ) -> ProcessedFrame:
     """Full preprocessing pipeline for one frame — single fused XLA program.
 
@@ -299,7 +307,8 @@ def preprocess_frame(
     filtered = bilateral_filter_and_cutoff(
         depth_metric, max_depth, sigma_xy, radius_factor, sigma_inv_depth
     )
-    d1, nx, ny = compute_normals(cam, filtered)
+    calibrated = apply_depth_deformation(filtered, a, cfactor, cell_size)
+    d1, nx, ny = compute_normals(cam, calibrated)
     d2, radius2 = compute_radii_and_remove_isolated(cam, d1)
     # Normals of pixels invalidated by the radius step are zeroed for hygiene.
     keep = d2 > 0
@@ -309,4 +318,5 @@ def preprocess_frame(
         ny=jnp.where(keep, ny, 0.0),
         radius2=radius2,
         intensity=intensity,
+        raw_depth=jnp.where(keep, filtered, 0.0),
     )

@@ -59,7 +59,7 @@ def _replicated(mesh: Mesh):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "cam", "baseline_fx", "use_depth",
+    static_argnames=("mesh", "baseline_fx", "use_depth",
                      "use_descriptor", "max_iterations"),
 )
 def optimize_keyframe_poses_sharded(
@@ -79,9 +79,9 @@ def optimize_keyframe_poses_sharded(
     (hosts pad the stack with masked slots).
     """
 
-    def local(smap_, kstack_):
+    def local(smap_, cam_, kstack_):
         return optimize_keyframe_poses.__wrapped__(
-            smap_, cam, kstack_, baseline_fx, use_depth, use_descriptor,
+            smap_, cam_, kstack_, baseline_fx, use_depth, use_descriptor,
             max_iterations,
         )
 
@@ -91,14 +91,15 @@ def optimize_keyframe_poses_sharded(
     )
     out_spec = PoseOptResult(q=P(AXIS), t=P(AXIS), moved=P(AXIS))
     smap_spec = jax.tree.map(lambda _: P(), smap)
+    cam_spec = jax.tree.map(lambda _: P(), cam)
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(smap_spec, kf_spec),
+        in_specs=(smap_spec, cam_spec, kf_spec),
         out_specs=out_spec,
         check_vma=False,  # loop-carry constants are unvarying by design
     )
-    return fn(smap, kstack)
+    return fn(smap, cam, kstack)
 
 
 # ---------------------------------------------------------------------------
@@ -108,7 +109,7 @@ def optimize_keyframe_poses_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "cam", "baseline_fx", "use_depth",
+    static_argnames=("mesh", "baseline_fx", "use_depth",
                      "use_descriptor"),
 )
 def optimize_geometry_sharded(
@@ -122,9 +123,9 @@ def optimize_geometry_sharded(
 ) -> SurfelMap:
     """Geometry step with the surfel axis sharded across the mesh."""
 
-    def local(smap_, kstack_):
+    def local(smap_, cam_, kstack_):
         out = optimize_geometry_iteration.__wrapped__(
-            smap_, cam, kstack_, baseline_fx, use_depth, use_descriptor
+            smap_, cam_, kstack_, baseline_fx, use_depth, use_descriptor
         )
         # count is replicated state; keep each shard's local count out of it.
         return out._replace(count=smap_.count)
@@ -134,14 +135,15 @@ def optimize_geometry_sharded(
         desc=P(AXIS), valid=P(AXIS), active=P(AXIS), count=P(),
     )
     kf_spec = jax.tree.map(lambda _: P(), kstack)
+    cam_spec = jax.tree.map(lambda _: P(), cam)
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(smap_spec, kf_spec),
+        in_specs=(smap_spec, cam_spec, kf_spec),
         out_specs=smap_spec,
         check_vma=False,
     )
-    return fn(smap, kstack)
+    return fn(smap, cam, kstack)
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +153,7 @@ def optimize_geometry_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "cam", "baseline_fx", "use_depth",
+    static_argnames=("mesh", "baseline_fx", "use_depth",
                      "use_descriptor", "max_iterations"),
 )
 def estimate_pose_sharded(
@@ -175,7 +177,7 @@ def estimate_pose_sharded(
     from badslam_tpu.ba.pose_opt import is_scale1_converged
     from badslam_tpu.geometry.linalg import solve_psd
 
-    def local(smap_, q0, t0, d, fx_, fy_, inten):
+    def local(smap_, cam_, q0, t0, d, fx_, fy_, inten):
         def cond(carry):
             _, _, it, conv = carry
             return (it < max_iterations) & jnp.logical_not(conv)
@@ -183,7 +185,7 @@ def estimate_pose_sharded(
         def body(carry):
             q, t, it, _ = carry
             H, b, count = surfel_pose_coeffs(
-                smap_, cam, q, t, d, fx_, fy_, inten,
+                smap_, cam_, q, t, d, fx_, fy_, inten,
                 baseline_fx, use_depth, use_descriptor,
             )
             H = jax.lax.psum(H, AXIS)
@@ -206,10 +208,11 @@ def estimate_pose_sharded(
         pos=P(AXIS), normal=P(AXIS), radius2=P(AXIS), color=P(AXIS),
         desc=P(AXIS), valid=P(AXIS), active=P(AXIS), count=P(),
     )
+    cam_spec = jax.tree.map(lambda _: P(), cam)
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(smap_spec, P(), P(), P(), P(), P(), P()),
+        in_specs=(smap_spec, cam_spec, P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(smap, kf_q, kf_t, depth, f_nx, f_ny, intensity)
+    return fn(smap, cam, kf_q, kf_t, depth, f_nx, f_ny, intensity)

@@ -60,19 +60,55 @@ def intensity_at(points: np.ndarray) -> np.ndarray:
     return np.floor(v * 255.0 + 0.5) / 255.0
 
 
+def _np_quat_to_matrix(q: np.ndarray) -> np.ndarray:
+    """Host-side wxyz quaternion -> rotation matrix (NO device work: on the
+    axon runtime a device->host read permanently degrades the session to a
+    per-kernel synchronous mode ~1000x slower, so fixtures must stay numpy)."""
+    w, x, y, z = (float(v) for v in q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float64)
+
+
+class HostSE3:
+    """Tiny host-only SE3 (q wxyz numpy, t numpy) for fixtures."""
+
+    __slots__ = ("q", "t")
+
+    def __init__(self, q, t):
+        self.q = np.asarray(q, np.float64)
+        self.t = np.asarray(t, np.float64)
+
+    def inverse(self) -> "HostSE3":
+        R = _np_quat_to_matrix(self.q)
+        return HostSE3(
+            np.array([self.q[0], -self.q[1], -self.q[2], -self.q[3]]),
+            -(R.T @ self.t),
+        )
+
+
+def _host_pose(world_T_frame) -> HostSE3:
+    if isinstance(world_T_frame, HostSE3):
+        return world_T_frame
+    return HostSE3(np.asarray(world_T_frame.q), np.asarray(world_T_frame.t))
+
+
 def render_scene(
     cam: PinholeCamera,
     scene: PlaneScene,
-    world_T_frame: se3.SE3,
+    world_T_frame,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Ray-cast the plane scene. Returns (depth [H,W] f32, intensity [H,W] f32).
 
     Depth is the z-depth of the nearest plane intersection in front of the
-    camera; pixels hitting no plane get 0.
+    camera; pixels hitting no plane get 0. Pure numpy on the host.
     """
-    w2f = se3.inverse(world_T_frame)
-    R_fw = np.asarray(se3.quat_to_matrix(w2f.q))
-    t_fw = np.asarray(w2f.t)
+    hp = _host_pose(world_T_frame)
+    w2f = hp.inverse()
+    R_fw = _np_quat_to_matrix(w2f.q)
+    t_fw = w2f.t
 
     # Plane into camera frame: n_c = R n_w; p_c = R p_w + t
     n_c = scene.normals @ R_fw.T
@@ -95,15 +131,32 @@ def render_scene(
 
     # Intensity from world-space position of the hit point.
     pts_cam = np.stack([depth * dx, depth * dy, depth], axis=-1)
-    R_wf = np.asarray(se3.quat_to_matrix(world_T_frame.q))
-    pts_world = pts_cam @ R_wf.T + np.asarray(world_T_frame.t)
+    R_wf = _np_quat_to_matrix(hp.q)
+    pts_world = pts_cam @ R_wf.T + hp.t
     inten = intensity_at(pts_world).astype(np.float32)
     inten = np.where(depth > 0, inten, 0.0)
     return depth, inten
 
 
 def pose(tx=0.0, ty=0.0, tz=0.0, rx=0.0, ry=0.0, rz=0.0) -> se3.SE3:
-    return se3.exp(jnp.array([tx, ty, tz, rx, ry, rz], jnp.float32))
+    """SE3 from a twist — computed on HOST (numpy Rodrigues), returned as the
+    usual jnp-backed se3.SE3 without any device->host read."""
+    v = np.array([tx, ty, tz], np.float64)
+    w = np.array([rx, ry, rz], np.float64)
+    theta = float(np.linalg.norm(w))
+    if theta < 1e-12:
+        q = np.array([1.0, 0.0, 0.0, 0.0])
+        t = v
+    else:
+        axis = w / theta
+        half = theta / 2.0
+        q = np.concatenate([[np.cos(half)], np.sin(half) * axis])
+        K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        K /= theta
+        V = (np.eye(3) + (1 - np.cos(theta)) / theta * K
+             + (theta - np.sin(theta)) / theta * (K @ K))
+        t = V @ v
+    return se3.SE3(jnp.array(q, jnp.float32), jnp.array(t, jnp.float32))
 
 
 def frame_from_render(cam, depth, intensity):

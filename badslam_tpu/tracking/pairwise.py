@@ -422,7 +422,7 @@ def _duel(cam, base, tracked, qa, ta, qb, tb, threshold_factor, baseline_fx,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cams", "baseline_fx", "use_depth", "use_descriptor",
+        "baseline_fx", "use_depth", "use_descriptor",
         "test_two_initial_estimates", "max_iterations", "use_pyramid_level_0",
     ),
 )
