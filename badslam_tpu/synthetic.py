@@ -92,7 +92,13 @@ class HostSE3:
 def _host_pose(world_T_frame) -> HostSE3:
     if isinstance(world_T_frame, HostSE3):
         return world_T_frame
-    return HostSE3(np.asarray(world_T_frame.q), np.asarray(world_T_frame.t))
+    # np.asarray of a DEVICE array is a d2h read, which permanently degrades
+    # the axon session (PERF_NOTES.md) — only accept host-backed poses here.
+    assert isinstance(world_T_frame.q, np.ndarray), (
+        "render_scene needs a host-backed pose (synthetic.pose / HostSE3), "
+        "not a device SE3 — a device->host read here would poison the session"
+    )
+    return HostSE3(world_T_frame.q, world_T_frame.t)
 
 
 def render_scene(
@@ -156,7 +162,9 @@ def pose(tx=0.0, ty=0.0, tz=0.0, rx=0.0, ry=0.0, rz=0.0) -> se3.SE3:
         V = (np.eye(3) + (1 - np.cos(theta)) / theta * K
              + (theta - np.sin(theta)) / theta * (K @ K))
         t = V @ v
-    return se3.SE3(jnp.array(q, jnp.float32), jnp.array(t, jnp.float32))
+    # numpy-backed: usable as a host value AND as a jit input, with no
+    # device round-trip either way.
+    return se3.SE3(q.astype(np.float32), np.asarray(t, np.float32))
 
 
 def frame_from_render(cam, depth, intensity):
@@ -180,6 +188,11 @@ def frame_from_render(cam, depth, intensity):
         radius2=r2,
         intensity=jnp.array(intensity),
     )
+
+
+def identity_pose() -> se3.SE3:
+    """Host-backed identity SE3 (no device work)."""
+    return se3.SE3(np.array([1, 0, 0, 0], np.float32), np.zeros(3, np.float32))
 
 
 def smooth_trajectory(num_frames: int, scale: float = 0.004):

@@ -45,7 +45,7 @@ def main() -> None:
             frame.depth, frame.nx, frame.ny, frame.intensity, num_scales
         )
 
-    base_pyr = pyramid_for(se3.identity())
+    base_pyr = pyramid_for(syn.identity_pose())
     tracked_pyr = pyramid_for(syn.pose(tx=0.01, ty=0.002, ry=0.004))
     q0 = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
     t0 = jnp.zeros((3,), jnp.float32)
