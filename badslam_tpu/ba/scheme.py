@@ -2,22 +2,29 @@
 
 TPU rebuild of the reference back-end
 (/root/reference/applications/badslam/src/badslam/direct_ba.h:65-550,
-direct_ba.cc, direct_ba_alternating.cc:285-738). The host drives the
-iteration structure (which keyframes are active, when to create / merge /
-delete surfels); every compute stage is one jitted device program from
-badslam_tpu.ba.* / badslam_tpu.mapping.*.
+direct_ba.cc, direct_ba_alternating.cc:285-738). The host drives only the
+ITERATION STRUCTURE (fixed counts, capacities); every value-dependent
+decision — which keyframes are active/covisible, which create surfels,
+which moved — lives in device-resident masks updated by jitted programs.
+The steady-state loop performs ZERO device→host reads (PERF_NOTES.md).
 
 Per BA iteration (BundleAdjustmentAlternating order):
-  surfel creation (newly-activated KFs) -> surfel activation ->
-  geometry optimization -> surfel merge + compaction -> per-KF pose
-  optimization (+ keyframe re-activation) -> convergence check.
+  surfel creation (newly-activated KFs, batched scan) -> surfel activation
+  -> geometry optimization -> surfel merge + compaction -> batched per-KF
+  pose optimization + keyframe re-activation -> optional intrinsics step.
+
+Deviation from the reference: the all-keyframes-converged early exit
+(direct_ba_alternating.cc:692-701) requires reading the activation values;
+we run the fixed `max_iterations` instead (the wall-clock `time_limit`
+check, which is host-only, is kept).
 """
 
 from __future__ import annotations
 
 import time
-from typing import List, Optional
+from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,7 +33,6 @@ from badslam_tpu.geometry import se3
 from badslam_tpu.geometry.camera import PinholeCamera
 from badslam_tpu.mapping import keyframes as kfs
 from badslam_tpu.mapping import surfels as sf
-from badslam_tpu.mapping.frustum import Frustum
 from badslam_tpu.mapping.keyframes import KeyframeStore
 from badslam_tpu.ba.geometry_opt import optimize_geometry_iteration
 from badslam_tpu.ba.intrinsics_opt import (
@@ -37,6 +43,35 @@ from badslam_tpu.ba.intrinsics_opt import (
 from badslam_tpu.ba.pose_opt import optimize_keyframe_poses
 from badslam_tpu.ops.preprocess import ProcessedFrame
 from badslam_tpu.utils.timing import Timing
+
+ACTIVE = kfs.ACTIVE
+INACTIVE = kfs.INACTIVE
+
+
+@jax.jit
+def _begin_iteration_masks(valid, activation, last_active, last_covis,
+                           ba_iter):
+    """Device bookkeeping for one BA iteration: which keyframes get surfels
+    created (first time ACTIVE in this BA block) and the updated counters
+    (direct_ba_alternating.cc:397-430)."""
+    newly_active = valid & (activation == kfs.ACTIVE) & (last_active != ba_iter)
+    newly_covis = (
+        valid & (activation == kfs.COVISIBLE_ACTIVE) & (last_covis != ba_iter)
+    )
+    last_active = jnp.where(newly_active, ba_iter, last_active)
+    last_covis = jnp.where(newly_covis, ba_iter, last_covis)
+    return newly_active, last_active, last_covis
+
+
+@jax.jit
+def _reactivation(activation, participating, moved):
+    """Keyframes that moved stay ACTIVE, converged ones go INACTIVE
+    (direct_ba_alternating.cc:562-574)."""
+    return jnp.where(
+        participating,
+        jnp.where(moved, kfs.ACTIVE, kfs.INACTIVE),
+        activation,
+    )
 
 
 class DirectBA:
@@ -67,94 +102,75 @@ class DirectBA:
 
     @property
     def surfel_count(self) -> int:
-        return int(self.surfels.count)
+        return int(self.surfels.count)  # device read — diagnostics only
 
     def add_keyframe(
         self, frame: ProcessedFrame, global_T_frame: se3.SE3,
         frame_index: int = -1,
     ) -> int:
-        kf_id = self.keyframes.add_keyframe(frame, global_T_frame, frame_index)
-        self._determine_new_keyframe_covisibility(kf_id)
-        return kf_id
-
-    def _frustum(self, kf_id: int) -> Frustum:
-        ks = self.keyframes
-        R = np.asarray(se3.quat_to_matrix(ks.q[kf_id]))
-        t = np.asarray(ks.t[kf_id])
-        return Frustum(self.cam, ks.min_depth[kf_id], ks.max_depth[kf_id], R, t)
-
-    def _determine_new_keyframe_covisibility(self, new_id: int) -> None:
-        """DirectBA::DetermineNewKeyframeCoVisibility (direct_ba.cc:231-249)."""
-        ks = self.keyframes
-        new_frustum = self._frustum(new_id)
-        for i in range(ks.count):
-            if i == new_id or not ks.valid[i]:
-                continue
-            if new_frustum.intersects(self._frustum(i)):
-                ks.covisibility[new_id].append(i)
-                ks.covisibility[i].append(new_id)
-                if ks.activation[i] == kfs.INACTIVE:
-                    ks.activation[i] = kfs.COVISIBLE_ACTIVE
+        return self.keyframes.add_keyframe(frame, global_T_frame, frame_index)
 
     # ------------------------------------------------------------------
     # Surfel lifecycle
     # ------------------------------------------------------------------
 
     def min_observation_count(self) -> int:
-        return self.config.min_observation_count_at(
-            len(self.keyframes.valid_ids())
-        )
+        """Bootstrapping-aware filter from the HOST-known keyframe count."""
+        return self.config.min_observation_count_at(self.keyframes.count)
 
     def create_surfels_for_keyframe(
         self, kf_id: int, filter_new_surfels: bool = True
-    ) -> int:
+    ):
+        """Create surfels for one host-chosen keyframe id (bootstrap path).
+        Returns the created count as a DEVICE scalar (callers must not read
+        it in the hot loop)."""
         ks = self.keyframes
-        covis_ids = [i for i in ks.covisibility[kf_id] if ks.valid[i]]
-        covis = ks.stack(covis_ids)
+        mask = jnp.zeros((ks.capacity,), jnp.bool_).at[kf_id].set(True)
+        return self._create_surfels_masked(mask, filter_new_surfels)
+
+    def _create_surfels_masked(self, create_mask, filter_new_surfels=True):
+        ks = self.keyframes
         c = self.config
-        self.surfels, created = sf.create_surfels_for_keyframe(
-            self.surfels, self.cam,
-            ks.q[kf_id], ks.t[kf_id],
-            ks.depth[kf_id], ks.nx[kf_id], ks.ny[kf_id],
-            ks.radius2[kf_id], ks.intensity[kf_id],
-            covis,
+        self.surfels, created = sf.create_surfels_for_keyframes(
+            self.surfels, self.cam, ks.stack(), ks.radius2,
+            create_mask, ks.covis,
             jnp.int32(self.min_observation_count()),
             baseline_fx=c.baseline_fx,
             cell_size=c.sparse_surfel_cell_size,
             filter_new_surfels=filter_new_surfels,
         )
-        return int(created)
+        return created
 
-    def _merge_for_keyframe(self, kf_id: int) -> None:
+    def _merge_surfels_masked(self, merge_mask) -> None:
         ks = self.keyframes
         c = self.config
-        self.surfels = sf.merge_surfels_for_frame(
-            self.surfels, self.cam,
-            ks.q[kf_id], ks.t[kf_id],
-            ks.depth[kf_id], ks.nx[kf_id], ks.ny[kf_id],
+        self.surfels = sf.merge_surfels_for_keyframes(
+            self.surfels, self.cam, ks.stack(), merge_mask,
             baseline_fx=c.baseline_fx,
             cell_size=c.sparse_surfel_cell_size,
             merge_dist_factor=c.surfel_merge_dist_factor,
         )
 
-    def perform_ba_scheme_end_tasks(self, do_surfel_updates: bool = True) -> None:
-        """Final merge over recently-active KFs + delete + compact
+    def perform_ba_scheme_end_tasks(self, do_surfel_updates: bool = True):
+        """Final merge over this block's active KFs + delete + compact
         (PerformBASchemeEndTasks, direct_ba.cc:566-653)."""
         ks = self.keyframes
+        if ks.count == 0:
+            return
         if do_surfel_updates:
-            for i in ks.valid_ids():
-                if ks.last_active_in_ba_iteration[i] == self.ba_iteration_count:
-                    self._merge_for_keyframe(i)
-        all_kf = ks.stack(ks.valid_ids())
+            recently_active = ks.valid & (
+                ks.last_active_iter == self.ba_iteration_count
+            )
+            self._merge_surfels_masked(recently_active)
         self.surfels = sf.delete_surfels_and_update_radii(
-            self.surfels, self.cam, all_kf,
+            self.surfels, self.cam, ks.stack(),
             jnp.int32(self.min_observation_count()),
             baseline_fx=self.config.baseline_fx,
         )
         self.surfels = sf.compact_surfels(self.surfels)
 
     # ------------------------------------------------------------------
-    # The alternating BA scheme
+    # Intrinsics / self-calibration
     # ------------------------------------------------------------------
 
     def optimize_intrinsics_step(
@@ -162,18 +178,13 @@ class DirectBA:
         optimize_depth_intrinsics: bool = True,
         optimize_color_intrinsics: bool = False,
     ) -> None:
-        """One intrinsics/deformation GN step over all valid keyframes,
-        followed by keyframe-plane recalibration (the reference instead
-        re-calibrates lazily inside every kernel, util.cuh:62-79)."""
         ks = self.keyframes
-        ids = ks.valid_ids()
-        if not ids or int(self.surfels.count) == 0:
+        if ks.count == 0:
             return
-        kstack = ks.stack(ids)
-        raw = ks.stack_raw(ids)
         c = self.config
         self.cam, self.depth_params = optimize_intrinsics(
-            self.surfels, self.cam, kstack, raw, self.depth_params,
+            self.surfels, self.cam, ks.stack(), ks.stack_raw(),
+            self.depth_params,
             baseline_fx=c.baseline_fx,
             cell_size=c.sparse_surfel_cell_size,
             optimize_depth=optimize_depth_intrinsics,
@@ -185,6 +196,10 @@ class DirectBA:
                 c.sparse_surfel_cell_size,
             )
         self.intrinsics_updated = True
+
+    # ------------------------------------------------------------------
+    # The alternating BA scheme
+    # ------------------------------------------------------------------
 
     def bundle_adjustment(
         self,
@@ -198,10 +213,21 @@ class DirectBA:
         time_limit: float = 0.0,
         optimize_depth_intrinsics: bool = False,
         optimize_color_intrinsics: bool = False,
+        convergence_check: Optional[bool] = None,
     ) -> int:
-        """Run the alternating scheme; returns iterations done."""
+        """Run the alternating scheme; returns iterations run.
+
+        Read-free by default: fixed `max_iterations` (plus host wall-clock
+        `time_limit`), device masks for everything value-dependent. With
+        `convergence_check` (or config.sync_convergence_checks) the
+        reference's all-keyframes-converged early exit
+        (direct_ba_alternating.cc:692-701) is restored at the cost of one
+        device->host read per iteration — do NOT enable on the axon runtime.
+        """
         c = self.config
         ks = self.keyframes
+        if ks.count == 0:
+            return 0
 
         if (not increase_ba_iteration_count
                 and self.ba_iteration_count != self.last_ba_iteration_count):
@@ -209,65 +235,49 @@ class DirectBA:
             self.perform_ba_scheme_end_tasks(do_surfel_updates)
 
         fixed_window = active_keyframe_window is not None
-        if fixed_window:
-            lo, hi = active_keyframe_window
 
-        # Reset surfel active flags for this BA block.
+        # Reset surfel active flags for this BA block
+        # (direct_ba_alternating.cc:338).
         self.surfels = self.surfels._replace(
             active=jnp.zeros_like(self.surfels.active)
         )
 
         start_time = time.perf_counter()
         iterations_done = 0
-        for iteration in range(max_iterations):
+        for _ in range(max_iterations):
             iterations_done += 1
             if fixed_window:
-                for i in range(ks.count):
-                    if not ks.valid[i]:
-                        continue
-                    ks.activation[i] = (
-                        kfs.ACTIVE if lo <= i <= hi else kfs.INACTIVE
-                    )
-                ks.determine_covisible_active_keyframes()
+                lo, hi = active_keyframe_window
+                ks.set_activation_window(lo, hi)
+                ks.propagate_covisible_active()
+
+            # --- bookkeeping masks for this iteration ---
+            create_mask, ks.last_active_iter, ks.last_covis_iter = (
+                _begin_iteration_masks(
+                    ks.valid, ks.activation, ks.last_active_iter,
+                    ks.last_covis_iter, jnp.int32(self.ba_iteration_count),
+                )
+            )
 
             # --- surfel creation for newly active keyframes ---
-            keyframes_with_new_surfels: List[int] = []
             if optimize_geometry and do_surfel_updates:
-                for i in range(ks.count):
-                    if not ks.valid[i]:
-                        continue
-                    if (ks.activation[i] == kfs.ACTIVE
-                            and ks.last_active_in_ba_iteration[i]
-                            != self.ba_iteration_count):
-                        ks.last_active_in_ba_iteration[i] = self.ba_iteration_count
-                        keyframes_with_new_surfels.append(i)
-                    elif (ks.activation[i] == kfs.COVISIBLE_ACTIVE
-                          and ks.last_covis_in_ba_iteration[i]
-                          != self.ba_iteration_count):
-                        ks.last_covis_in_ba_iteration[i] = self.ba_iteration_count
                 with Timing.time("BA surfel creation"):
-                    for i in keyframes_with_new_surfels:
-                        self.create_surfels_for_keyframe(i, filter_new_surfels=True)
+                    self._create_surfels_masked(create_mask)
 
             # --- surfel activation (old surfels vs Active keyframes) ---
-            active_kf_ids = [
-                i for i in ks.valid_ids() if ks.activation[i] == kfs.ACTIVE
-            ]
             with Timing.time("BA surfel activation"):
-                if active_kf_ids:
-                    # New surfels were appended with active=True; this pass
-                    # recomputes the rest.
-                    self.surfels = sf.update_surfel_activation(
-                        self.surfels, self.cam, ks.stack(active_kf_ids),
-                        baseline_fx=c.baseline_fx,
-                    )
+                self.surfels = sf.update_surfel_activation(
+                    self.surfels, self.cam,
+                    ks.stack(ks.active_mask(include_covisible=False)),
+                    baseline_fx=c.baseline_fx,
+                )
 
-            participating = ks.active_ids(include_covisible=True)
-            kstack = ks.stack(participating) if participating else None
+            participating = ks.active_mask(include_covisible=True)
+            kstack = ks.stack(participating)
 
             # --- geometry optimization ---
-            if optimize_geometry and kstack is not None:
-                with Timing.time("BA geometry optimization", sync=self.surfels.pos):
+            if optimize_geometry:
+                with Timing.time("BA geometry optimization"):
                     self.surfels = optimize_geometry_iteration(
                         self.surfels, self.cam, kstack,
                         baseline_fx=c.baseline_fx,
@@ -276,16 +286,14 @@ class DirectBA:
                     )
 
             # --- merge + compact for keyframes with new surfels ---
-            if do_surfel_updates and keyframes_with_new_surfels:
+            if do_surfel_updates:
                 with Timing.time("BA surfel merge"):
-                    for i in keyframes_with_new_surfels:
-                        self._merge_for_keyframe(i)
+                    self._merge_surfels_masked(create_mask)
                 with Timing.time("BA surfel compaction"):
                     self.surfels = sf.compact_surfels(self.surfels)
 
             # --- pose optimization (batched over participating KFs) ---
-            num_converged = ks.count - len(participating)
-            if optimize_poses and kstack is not None:
+            if optimize_poses:
                 with Timing.time("BA pose optimization"):
                     result = optimize_keyframe_poses(
                         self.surfels, self.cam, kstack,
@@ -294,35 +302,30 @@ class DirectBA:
                         use_descriptor=c.use_photometric_residuals,
                         max_iterations=30,
                     )
-                    moved = np.asarray(result.moved)
-                    for slot, kf_id in enumerate(participating):
-                        ks.set_pose(
-                            kf_id,
-                            se3.SE3(result.q[slot], result.t[slot]),
-                        )
-                        if moved[slot]:
-                            ks.activation[kf_id] = kfs.ACTIVE
-                        else:
-                            ks.activation[kf_id] = kfs.INACTIVE
-                            num_converged += 1
+                    ks.set_poses(result.q, result.t, participating)
+                    ks.activation = _reactivation(
+                        ks.activation, participating, result.moved
+                    )
 
             # --- intrinsics optimization ---
             if optimize_depth_intrinsics or optimize_color_intrinsics:
                 with Timing.time("BA intrinsics optimization"):
                     self.optimize_intrinsics_step(
                         optimize_depth_intrinsics and c.use_geometric_residuals,
-                        optimize_color_intrinsics and c.use_photometric_residuals,
+                        optimize_color_intrinsics
+                        and c.use_photometric_residuals,
                     )
 
-            # --- convergence ---
-            if iteration >= min_iterations - 1 and (
-                num_converged >= len(ks.valid_ids()) or not optimize_poses
-            ):
+            if convergence_check is None:
+                convergence_check = c.sync_convergence_checks
+            if (convergence_check and iterations_done >= max(1, min_iterations)
+                    and optimize_poses
+                    and int(jnp.sum(ks.active_mask(False))) == 0):
                 break
             if time_limit and (time.perf_counter() - start_time) > time_limit:
                 break
 
-            ks.determine_covisible_active_keyframes()
+            ks.propagate_covisible_active()
 
         if increase_ba_iteration_count:
             self.perform_ba_scheme_end_tasks(do_surfel_updates)
@@ -336,7 +339,8 @@ class DirectBA:
 
     def export_point_cloud(self):
         """(positions, normals, colors) numpy arrays of valid surfels
-        (ExportToPointCloud analog, direct_ba.cc:461-547)."""
+        (ExportToPointCloud analog, direct_ba.cc:461-547). End-of-run only:
+        this reads device values."""
         m = self.surfels
         valid = np.asarray(m.valid)
         return (

@@ -67,6 +67,11 @@ class BadSlamConfig:
     loop_detection_images_width: int = 640
     loop_detection_images_height: int = 480
 
+    # Restore the reference's per-iteration BA convergence early exit at the
+    # cost of a device->host sync per iteration (keep False on runtimes where
+    # readbacks stall, PERF_NOTES.md).
+    sync_convergence_checks: bool = False
+
     # --- TPU-native capacities (static shapes; no reference equivalent) ---
     max_keyframe_count: int = 512  # stacked keyframe array capacity
     surfel_bucket_base: int = 1 << 16  # map ops run on pow2-bucketed slices

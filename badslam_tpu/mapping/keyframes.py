@@ -1,11 +1,17 @@
-"""Keyframe storage as stacked device arrays.
+"""Keyframe storage: stacked device planes + DEVICE-RESIDENT metadata.
 
 TPU-native replacement for the reference's per-keyframe GPU buffer objects
-(/root/reference/applications/badslam/src/badslam/keyframe.h:50-237): instead
-of K separate pitched buffers addressed by host loops, all keyframe planes
-live in stacked [K, H, W] arrays with a static capacity, so BA stages can
-scan/vmap over the keyframe axis inside a single jitted program. Capacity
-grows by power-of-two re-allocation (amortized, recompile-bounded).
+(/root/reference/applications/badslam/src/badslam/keyframe.h:50-237).
+Instead of K separate pitched buffers addressed by host loops, all keyframe
+planes live in stacked [K, H, W] arrays with a power-of-two capacity, so BA
+stages scan/vmap over the keyframe axis inside single jitted programs.
+
+Crucially, ALL value-dependent metadata — validity, activation state,
+covisibility, min/max depth, BA bookkeeping counters — lives on the DEVICE
+and is updated by jitted programs. The host only tracks the keyframe count
+and capacity. This makes the steady-state loop completely free of
+device→host reads (PERF_NOTES.md: on the axon runtime a single read
+permanently degrades the session ~1000x; on any TPU it is a sync stall).
 
 Activation states mirror Keyframe::Activation (keyframe.h:54-67):
 INACTIVE=0, COVISIBLE_ACTIVE=1, ACTIVE=2.
@@ -42,18 +48,132 @@ class KeyframeStack(NamedTuple):
     mask: jax.Array       # [K] bool — participate in the current operation
 
 
+# ---------------------------------------------------------------------------
+# Device frustum intersection (CameraFrustum::Intersects rebuild,
+# libvis/src/libvis/camera_frustum.h:72-225: bbox gate + 6-plane SAT +
+# edge-cross-product SAT, vectorized over all keyframes at once)
+# ---------------------------------------------------------------------------
+
+
+def _frustum_points(cam: PinholeCamera, q, t, min_d, max_d):
+    """[K, 8, 3] world-space frustum corners (image corners x min/max z)."""
+
+    def dirs(px, py):
+        return ((px - cam.cx) / cam.fx, (py - cam.cy) / cam.fy)
+
+    xs = []
+    for px, py in ((0.0, 0.0), (float(0), 0.0), (0.0, 0.0), (0.0, 0.0)):
+        pass  # (loop unrolled below for clarity)
+    for px, py in ((0.0, 0.0), (cam.width * 1.0, 0.0), (0.0, cam.height * 1.0),
+                   (cam.width * 1.0, cam.height * 1.0)):
+        dx, dy = dirs(px, py)
+        for dd in (min_d, max_d):
+            xs.append(jnp.stack([dd * dx, dd * dy, dd], axis=-1))
+    local = jnp.stack(xs, axis=-2)  # [K, 8, 3]
+    R = jax.vmap(se3.quat_to_matrix)(q)  # [K, 3, 3]
+    return jnp.einsum("kij,kpj->kpi", R, local) + t[:, None, :]
+
+
+def _frustum_axes(p):
+    """[..., 6, 3] edge direction vectors (camera_frustum.h:184-190)."""
+    return jnp.stack([
+        p[..., 7, :] - p[..., 6, :],
+        p[..., 3, :] - p[..., 2, :],
+        p[..., 5, :] - p[..., 4, :],
+        p[..., 1, :] - p[..., 0, :],
+        p[..., 2, :] - p[..., 6, :],
+        p[..., 0, :] - p[..., 2, :],
+    ], axis=-2)
+
+
+def _frustum_planes(p, a):
+    """Outward plane normals+offsets (camera_frustum.h:192-215)."""
+    fwd = jnp.cross(a[..., 5, :], a[..., 4, :])
+    right = jnp.cross(a[..., 0, :], a[..., 4, :])
+    top = jnp.cross(a[..., 1, :], a[..., 5, :])
+    left = jnp.cross(a[..., 4, :], a[..., 2, :])
+    bottom = jnp.cross(a[..., 5, :], a[..., 0, :])
+    normals = jnp.stack([fwd, -fwd, right, top, left, bottom], axis=-2)
+    anchors = jnp.stack([
+        p[..., 1, :], p[..., 0, :], p[..., 6, :],
+        p[..., 2, :], p[..., 4, :], p[..., 6, :],
+    ], axis=-2)
+    offsets = -jnp.sum(normals * anchors, axis=-1)
+    return normals, offsets
+
+
+def _pair_intersects(pa, pb):
+    """SAT intersection of two frustums given [8, 3] corner sets."""
+    bbox = jnp.all(
+        (jnp.max(pa, axis=-2) >= jnp.min(pb, axis=-2))
+        & (jnp.max(pb, axis=-2) >= jnp.min(pa, axis=-2))
+    )
+
+    def planes_separate(points_src, points_other):
+        axes = _frustum_axes(points_src)
+        normals, offsets = _frustum_planes(points_src, axes)
+        d = jnp.einsum("pi,vi->pv", normals, points_other) + offsets[:, None]
+        return jnp.any(jnp.all(d >= 0, axis=-1))
+
+    sep = planes_separate(pa, pb) | planes_separate(pb, pa)
+
+    aa = _frustum_axes(pa)
+    ab = _frustum_axes(pb)
+    dirs = jnp.cross(aa[:, None, :], ab[None, :, :]).reshape(-1, 3)
+    usable = jnp.sum(dirs * dirs, axis=-1) >= 1e-5
+    proj_a = dirs @ pa.T
+    proj_b = dirs @ pb.T
+    a_min, a_max = jnp.min(proj_a, -1), jnp.max(proj_a, -1)
+    b_min, b_max = jnp.min(proj_b, -1), jnp.max(proj_b, -1)
+    sep = sep | jnp.any(usable & ((a_max <= b_min) | (a_min >= b_max)))
+    return bbox & ~sep
+
+
+@jax.jit
+def _covisibility_row(cam: PinholeCamera, q, t, min_d, max_d, valid, new_id):
+    """[K] bool: valid keyframes whose frustum intersects keyframe new_id's
+    (DetermineNewKeyframeCoVisibility, direct_ba.cc:231-249)."""
+    pts = _frustum_points(cam, q, t, min_d, max_d)
+    new_pts = pts[new_id]
+    row = jax.vmap(lambda pk: _pair_intersects(new_pts, pk))(pts)
+    k = q.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
+    return row & valid & (ids != new_id)
+
+
+@jax.jit
+def _register_covisibility(covis, activation, row, new_id):
+    """Symmetric covisibility update + kCovisibleActive promotion of
+    INACTIVE covisible keyframes (direct_ba.cc:240-247)."""
+    covis = covis.at[new_id].set(row)
+    covis = covis.at[:, new_id].set(row)
+    activation = jnp.where(
+        row & (activation == INACTIVE), COVISIBLE_ACTIVE, activation
+    )
+    return covis, activation
+
+
+@jax.jit
+def _propagate_covisible_active(covis, activation, valid):
+    """DetermineCovisibleActiveKeyframes (direct_ba.cc:549-564)."""
+    activation = jnp.where(
+        activation == COVISIBLE_ACTIVE, INACTIVE, activation)
+    active = valid & (activation == ACTIVE)
+    touched = (covis & active[None, :]).any(axis=1)
+    activation = jnp.where(
+        valid & touched & (activation == INACTIVE), COVISIBLE_ACTIVE,
+        activation,
+    )
+    return activation
+
+
 @dataclass
 class KeyframeStore:
-    """Host-side manager: device plane stacks + host metadata.
-
-    Host metadata (activation, covisibility, frame indices) drives control
-    flow; the device stack feeds jitted BA programs.
-    """
+    """Stacked device keyframe state; the host knows only count/capacity."""
 
     cam: PinholeCamera
     capacity: int = 8
 
-    # device stacks (allocated lazily on first keyframe)
     depth: Optional[jax.Array] = None
     raw_depth: Optional[jax.Array] = None  # pre-deformation metric depth
     nx: Optional[jax.Array] = None
@@ -62,17 +182,19 @@ class KeyframeStore:
     intensity: Optional[jax.Array] = None
     q: Optional[jax.Array] = None
     t: Optional[jax.Array] = None
+    valid: Optional[jax.Array] = None          # [cap] bool
+    activation: Optional[jax.Array] = None     # [cap] i32
+    covis: Optional[jax.Array] = None          # [cap, cap] bool
+    min_depth: Optional[jax.Array] = None      # [cap] f32
+    max_depth: Optional[jax.Array] = None      # [cap] f32
+    last_active_iter: Optional[jax.Array] = None  # [cap] i32
+    last_covis_iter: Optional[jax.Array] = None   # [cap] i32
 
-    # host metadata, one entry per keyframe id
+    # host metadata (value-free)
     count: int = 0
-    frame_indices: List[int] = field(default_factory=list)  # dataset frame idx
-    valid: List[bool] = field(default_factory=list)  # False once merged away
-    activation: List[int] = field(default_factory=list)
-    covisibility: List[List[int]] = field(default_factory=list)
-    min_depth: List[float] = field(default_factory=list)
-    max_depth: List[float] = field(default_factory=list)
-    last_active_in_ba_iteration: List[int] = field(default_factory=list)
-    last_covis_in_ba_iteration: List[int] = field(default_factory=list)
+    frame_indices: List[int] = field(default_factory=list)
+
+    # ------------------------------------------------------------------
 
     def _ensure_capacity(self, needed: int) -> None:
         if self.depth is not None and needed <= self.depth.shape[0]:
@@ -82,8 +204,8 @@ class KeyframeStore:
             new_cap *= 2
         h, w = self.cam.height, self.cam.width
 
-        def grow(arr, shape, dtype=jnp.float32):
-            fresh = jnp.zeros(shape, dtype)
+        def grow(arr, shape, dtype=jnp.float32, fill=0):
+            fresh = jnp.full(shape, fill, dtype)
             if arr is None:
                 return fresh
             return jnp.concatenate([arr, fresh[arr.shape[0]:]], axis=0)
@@ -101,9 +223,24 @@ class KeyframeStore:
         else:
             self.q = jnp.concatenate([self.q, q0[self.q.shape[0]:]], axis=0)
             self.t = jnp.concatenate(
-                [self.t, jnp.zeros((new_cap - self.t.shape[0], 3), jnp.float32)],
+                [self.t,
+                 jnp.zeros((new_cap - self.t.shape[0], 3), jnp.float32)],
                 axis=0,
             )
+        self.valid = grow(self.valid, (new_cap,), jnp.bool_, False)
+        self.activation = grow(self.activation, (new_cap,), jnp.int32,
+                               INACTIVE)
+        fresh_covis = jnp.zeros((new_cap, new_cap), jnp.bool_)
+        if self.covis is not None:
+            old = self.covis.shape[0]
+            fresh_covis = fresh_covis.at[:old, :old].set(self.covis)
+        self.covis = fresh_covis
+        self.min_depth = grow(self.min_depth, (new_cap,), jnp.float32, 0.0)
+        self.max_depth = grow(self.max_depth, (new_cap,), jnp.float32, 0.0)
+        self.last_active_iter = grow(
+            self.last_active_iter, (new_cap,), jnp.int32, -1)
+        self.last_covis_iter = grow(
+            self.last_covis_iter, (new_cap,), jnp.int32, -1)
         self.capacity = new_cap
 
     def add_keyframe(
@@ -112,7 +249,7 @@ class KeyframeStore:
         global_T_frame: se3.SE3,
         frame_index: int = -1,
     ) -> int:
-        """Append a keyframe; returns its id."""
+        """Append a keyframe + device covisibility update; returns its id."""
         kf_id = self.count
         self._ensure_capacity(kf_id + 1)
         self.depth = self.depth.at[kf_id].set(frame.depth)
@@ -122,98 +259,100 @@ class KeyframeStore:
         self.ny = self.ny.at[kf_id].set(frame.ny)
         self.radius2 = self.radius2.at[kf_id].set(frame.radius2)
         self.intensity = self.intensity.at[kf_id].set(frame.intensity)
-        self.q = self.q.at[kf_id].set(global_T_frame.q)
-        self.t = self.t.at[kf_id].set(global_T_frame.t)
+        self.q = self.q.at[kf_id].set(jnp.asarray(global_T_frame.q))
+        self.t = self.t.at[kf_id].set(jnp.asarray(global_T_frame.t))
 
-        valid = frame.depth > 0
-        mn = float(jnp.min(jnp.where(valid, frame.depth, jnp.inf)))
-        mx = float(jnp.max(jnp.where(valid, frame.depth, 0.0)))
+        v = frame.depth > 0
+        self.min_depth = self.min_depth.at[kf_id].set(
+            jnp.min(jnp.where(v, frame.depth, jnp.inf)))
+        self.max_depth = self.max_depth.at[kf_id].set(
+            jnp.max(jnp.where(v, frame.depth, 0.0)))
+        self.valid = self.valid.at[kf_id].set(True)
+        self.activation = self.activation.at[kf_id].set(ACTIVE)
+
+        row = _covisibility_row(
+            self.cam, self.q, self.t, self.min_depth, self.max_depth,
+            self.valid, jnp.int32(kf_id),
+        )
+        self.covis, self.activation = _register_covisibility(
+            self.covis, self.activation, row, jnp.int32(kf_id)
+        )
 
         self.count += 1
         self.frame_indices.append(frame_index)
-        self.valid.append(True)
-        self.activation.append(ACTIVE)
-        self.covisibility.append([])
-        self.min_depth.append(mn)
-        self.max_depth.append(mx)
-        self.last_active_in_ba_iteration.append(-1)
-        self.last_covis_in_ba_iteration.append(-1)
         return kf_id
 
     def remove_keyframe(self, kf_id: int) -> None:
         """Mark a keyframe as merged/deleted (MergeKeyframes analog)."""
-        self.valid[kf_id] = False
-        self.activation[kf_id] = INACTIVE
+        self.valid = self.valid.at[kf_id].set(False)
+        self.activation = self.activation.at[kf_id].set(INACTIVE)
+        self.covis = self.covis.at[kf_id].set(False)
+        self.covis = self.covis.at[:, kf_id].set(False)
+
+    # ------------------------------------------------------------------
 
     def set_pose(self, kf_id: int, pose: se3.SE3) -> None:
-        self.q = self.q.at[kf_id].set(pose.q)
-        self.t = self.t.at[kf_id].set(pose.t)
+        self.q = self.q.at[kf_id].set(jnp.asarray(pose.q))
+        self.t = self.t.at[kf_id].set(jnp.asarray(pose.t))
 
-    def set_poses(self, q: jax.Array, t: jax.Array) -> None:
-        """Bulk pose update for ids [0, count) (post BA)."""
-        self.q = self.q.at[: q.shape[0]].set(q)
-        self.t = self.t.at[: t.shape[0]].set(t)
+    def set_poses(self, q: jax.Array, t: jax.Array, mask: jax.Array) -> None:
+        """Masked bulk pose update over the leading rows (post BA)."""
+        k = q.shape[0]
+        self.q = self.q.at[:k].set(jnp.where(mask[:, None], q, self.q[:k]))
+        self.t = self.t.at[:k].set(jnp.where(mask[:, None], t, self.t[:k]))
 
     def pose(self, kf_id: int) -> se3.SE3:
         return se3.SE3(self.q[kf_id], self.t[kf_id])
 
-    def poses_numpy(self):
-        return np.asarray(self.q[: self.count]), np.asarray(self.t[: self.count])
+    # ------------------------------------------------------------------
 
-    def stack(self, ids: Optional[List[int]] = None) -> KeyframeStack:
-        """Device view for jitted consumers.
+    def mask_for_ids(self, ids) -> jax.Array:
+        """[cap] bool mask from host-known keyframe ids (value-free)."""
+        m = np.zeros(self.capacity, bool)
+        m[np.asarray(list(ids), np.int64)] = True
+        return jnp.array(m)
 
-        With `ids`, gathers that subset (padded to a power of two so the jit
-        cache sees few distinct shapes); otherwise returns the full capacity
-        stack with a validity mask.
-        """
-        if ids is None:
-            mask = np.zeros(self.capacity, bool)
-            for i in range(self.count):
-                mask[i] = self.valid[i]
-            return KeyframeStack(
-                self.depth, self.nx, self.ny, self.radius2, self.intensity,
-                self.q, self.t, jnp.array(mask),
-            )
-        n = max(1, len(ids))
-        padded = 1
-        while padded < n:
-            padded *= 2
-        idx = np.zeros(padded, np.int32)
-        idx[:n] = np.array(ids, np.int32) if ids else 0
-        mask = np.zeros(padded, bool)
-        mask[: len(ids)] = True
-        gather = jnp.array(idx)
+    def stack(self, mask: Optional[jax.Array] = None) -> KeyframeStack:
+        """Full-capacity device view; `mask` defaults to the valid mask.
+        A host list of keyframe ids is also accepted (tests/tools)."""
+        if isinstance(mask, (list, tuple, range)):
+            mask = self.mask_for_ids(mask)
         return KeyframeStack(
-            jnp.take(self.depth, gather, axis=0),
-            jnp.take(self.nx, gather, axis=0),
-            jnp.take(self.ny, gather, axis=0),
-            jnp.take(self.radius2, gather, axis=0),
-            jnp.take(self.intensity, gather, axis=0),
-            jnp.take(self.q, gather, axis=0),
-            jnp.take(self.t, gather, axis=0),
-            jnp.array(mask),
+            self.depth, self.nx, self.ny, self.radius2, self.intensity,
+            self.q, self.t,
+            self.valid if mask is None else mask,
         )
 
-    def stack_raw(self, ids: Optional[List[int]] = None) -> jax.Array:
-        """Raw (pre-deformation) depth planes aligned with stack(ids)."""
-        if ids is None:
-            return self.raw_depth
-        n = max(1, len(ids))
-        padded = 1
-        while padded < n:
-            padded *= 2
-        idx = np.zeros(padded, np.int32)
-        idx[:n] = np.array(ids, np.int32) if ids else 0
-        return jnp.take(self.raw_depth, jnp.array(idx), axis=0)
+    def stack_raw(self) -> jax.Array:
+        return self.raw_depth
+
+    def active_mask(self, include_covisible: bool = True) -> jax.Array:
+        m = self.valid & (self.activation == ACTIVE)
+        if include_covisible:
+            m = m | (self.valid & (self.activation == COVISIBLE_ACTIVE))
+        return m
+
+    def propagate_covisible_active(self) -> None:
+        self.activation = _propagate_covisible_active(
+            self.covis, self.activation, self.valid
+        )
+
+    def set_activation_window(self, lo: int, hi: int) -> None:
+        """Host-index-driven activation (final windowed BA, main.cc:765-789).
+        Value-free: lo/hi are host indices."""
+        ids = np.arange(self.capacity)
+        window = jnp.array((ids >= lo) & (ids <= hi))
+        self.activation = jnp.where(
+            self.valid & window, ACTIVE, INACTIVE
+        )
 
     def recalibrate(self, cam, a, cfactor, cell_size: int) -> None:
         """Re-derive calibrated depth / normals / radii for ALL keyframes
         after a self-calibration update (one batched device pass).
 
         Goes beyond the reference, which keeps creation-time normals/radii
-        stale and only re-calibrates depth on the fly in kernels
-        (util.cuh:62-79); refreshing everything here keeps all downstream
+        stale and re-calibrates depth on the fly in kernels
+        (util.cuh:62-79); refreshing everything keeps all downstream
         consumers consistent without per-use recalibration cost.
         """
         from badslam_tpu.ba.intrinsics_opt import recalibrate_planes
@@ -223,37 +362,17 @@ class KeyframeStore:
         depth, nx, ny, radius2 = recalibrate_planes(
             cam, self.raw_depth, a, cfactor, cell_size=cell_size
         )
-        self.depth, self.nx, self.ny, self.radius2 = depth, nx, ny, radius2
-        for i in range(self.count):
-            d = np.asarray(depth[i])
-            v = d > 0
-            if v.any():
-                self.min_depth[i] = float(d[v].min())
-                self.max_depth[i] = float(d[v].max())
-
-    def active_ids(self, include_covisible: bool = True) -> List[int]:
-        out = []
-        for i in range(self.count):
-            if not self.valid[i]:
-                continue
-            if self.activation[i] == ACTIVE or (
-                include_covisible and self.activation[i] == COVISIBLE_ACTIVE
-            ):
-                out.append(i)
-        return out
-
-    def valid_ids(self) -> List[int]:
-        return [i for i in range(self.count) if self.valid[i]]
-
-    def determine_covisible_active_keyframes(self) -> None:
-        """Propagate kActive to covisible keyframes as kCovisibleActive
-        (DirectBA::DetermineCovisibleActiveKeyframes, direct_ba.cc:549-564)."""
-        for i in range(self.count):
-            if self.valid[i] and self.activation[i] == COVISIBLE_ACTIVE:
-                self.activation[i] = INACTIVE
-        for i in range(self.count):
-            if not self.valid[i] or self.activation[i] != ACTIVE:
-                continue
-            for j in self.covisibility[i]:
-                if self.valid[j] and self.activation[j] == INACTIVE:
-                    self.activation[j] = COVISIBLE_ACTIVE
+        keep = self.valid[:, None, None]
+        self.depth = jnp.where(keep, depth, self.depth)
+        self.nx = jnp.where(keep, nx, self.nx)
+        self.ny = jnp.where(keep, ny, self.ny)
+        self.radius2 = jnp.where(keep, radius2, self.radius2)
+        v = depth > 0
+        self.min_depth = jnp.where(
+            self.valid, jnp.min(jnp.where(v, depth, jnp.inf), axis=(1, 2)),
+            self.min_depth,
+        )
+        self.max_depth = jnp.where(
+            self.valid, jnp.max(jnp.where(v, depth, 0.0), axis=(1, 2)),
+            self.max_depth,
+        )

@@ -424,3 +424,94 @@ def compact_surfels(smap: SurfelMap) -> SurfelMap:
         active=permute(smap.active),
         count=smap.count,
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched (masked) per-keyframe creation / merge — one jitted program for the
+# whole keyframe axis, replacing the reference's host loop of kernel launches
+# (direct_ba_alternating.cc:397-430; SURVEY.md §7 decision 2). Host control
+# flow never reads device values: which keyframes create/merge is a device
+# mask computed from device-resident activation state.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baseline_fx", "cell_size", "filter_new_surfels"),
+)
+def create_surfels_for_keyframes(
+    smap: SurfelMap,
+    cam: PinholeCamera,
+    kstack: KeyframeStack,       # full-capacity stack; kstack.mask = valid
+    radius2_stack: jax.Array,    # [K, H, W]
+    create_mask: jax.Array,      # [K] bool — keyframes to create surfels for
+    covis_matrix: jax.Array,     # [K, K] bool
+    min_observation_count,       # traced scalar
+    baseline_fx: float,
+    cell_size: int,
+    filter_new_surfels: bool = True,
+) -> Tuple[SurfelMap, jax.Array]:
+    """Create surfels for every masked keyframe (scan with per-step cond)."""
+
+    k = kstack.depth.shape[0]
+
+    def body(smap_, inputs):
+        (idx,) = inputs
+
+        def run(smap_):
+            covis_mask = covis_matrix[idx] & kstack.mask
+            covis = KeyframeStack(
+                kstack.depth, kstack.nx, kstack.ny, kstack.radius2,
+                kstack.intensity, kstack.q, kstack.t, covis_mask,
+            )
+            new_map, created = create_surfels_for_keyframe.__wrapped__(
+                smap_, cam,
+                kstack.q[idx], kstack.t[idx],
+                kstack.depth[idx], kstack.nx[idx], kstack.ny[idx],
+                radius2_stack[idx], kstack.intensity[idx],
+                covis, min_observation_count,
+                baseline_fx, cell_size, filter_new_surfels,
+            )
+            return new_map, created
+
+        smap_, created = jax.lax.cond(
+            create_mask[idx], run,
+            lambda m: (m, jnp.zeros((), jnp.int32)), smap_,
+        )
+        return smap_, created
+
+    ids = jnp.arange(k, dtype=jnp.int32)
+    smap, created = jax.lax.scan(body, smap, (ids,))
+    return smap, jnp.sum(created)
+
+
+@functools.partial(jax.jit, static_argnames=("baseline_fx", "cell_size"))
+def merge_surfels_for_keyframes(
+    smap: SurfelMap,
+    cam: PinholeCamera,
+    kstack: KeyframeStack,
+    merge_mask: jax.Array,   # [K] bool
+    baseline_fx: float,
+    cell_size: int,
+    merge_dist_factor: float = 0.8,
+) -> SurfelMap:
+    """Run the supporting-surfels merge pass for every masked keyframe."""
+
+    k = kstack.depth.shape[0]
+
+    def body(smap_, inputs):
+        (idx,) = inputs
+
+        def run(smap_):
+            return merge_surfels_for_frame.__wrapped__(
+                smap_, cam,
+                kstack.q[idx], kstack.t[idx],
+                kstack.depth[idx], kstack.nx[idx], kstack.ny[idx],
+                baseline_fx, cell_size, merge_dist_factor,
+            )
+
+        return jax.lax.cond(merge_mask[idx], run, lambda m: m, smap_), None
+
+    ids = jnp.arange(k, dtype=jnp.int32)
+    smap, _ = jax.lax.scan(body, smap, (ids,))
+    return smap

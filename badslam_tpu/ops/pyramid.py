@@ -10,6 +10,7 @@ is the average of the 4 pixels (bilinear tap at the block center).
 
 from __future__ import annotations
 
+import functools
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -53,6 +54,7 @@ def downsample_level(level: FramePyramidLevel) -> FramePyramidLevel:
     return FramePyramidLevel(depth, nx, ny, inten)
 
 
+@functools.partial(jax.jit, static_argnames=("num_scales",))
 def build_pyramid(
     depth: jax.Array,
     nx: jax.Array,

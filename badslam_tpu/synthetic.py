@@ -92,13 +92,18 @@ class HostSE3:
 def _host_pose(world_T_frame) -> HostSE3:
     if isinstance(world_T_frame, HostSE3):
         return world_T_frame
-    # np.asarray of a DEVICE array is a d2h read, which permanently degrades
-    # the axon session (PERF_NOTES.md) — only accept host-backed poses here.
-    assert isinstance(world_T_frame.q, np.ndarray), (
-        "render_scene needs a host-backed pose (synthetic.pose / HostSE3), "
-        "not a device SE3 — a device->host read here would poison the session"
-    )
-    return HostSE3(world_T_frame.q, world_T_frame.t)
+    if not isinstance(world_T_frame.q, np.ndarray):
+        # np.asarray of a DEVICE array is a d2h read, which permanently
+        # degrades the axon session (PERF_NOTES.md) — reject there; on CPU
+        # backends the convert is harmless (tests).
+        import jax
+
+        if jax.default_backend() != "cpu":
+            raise TypeError(
+                "render_scene needs a host-backed pose (synthetic.pose / "
+                "HostSE3): a device->host read here would degrade the session"
+            )
+    return HostSE3(np.asarray(world_T_frame.q), np.asarray(world_T_frame.t))
 
 
 def render_scene(

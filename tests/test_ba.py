@@ -64,14 +64,15 @@ def test_pose_optimization_recovers_perturbation(use_desc):
         res = optimize_keyframe_poses(
             ba.surfels, cam, ks, use_descriptor=use_desc
         )
+        # Results align with the full-capacity keyframe axis.
         err = float(jnp.linalg.norm(se3.log(
-            se3.mul(se3.inverse(se3.SE3(res.q[0], res.t[0])), gt1)
+            se3.mul(se3.inverse(se3.SE3(res.q[kf1], res.t[kf1])), gt1)
         )))
         # Photometric residuals carry u8-quantization bias; geometric-only
         # converges tighter (same ordering as the reference fixtures).
         tol = 5e-4 if use_desc else 2e-4
         assert err < tol, f"perturbation {i}: recovery error {err}"
-        assert bool(res.moved[0])
+        assert bool(res.moved[kf1])
 
 
 @pytest.mark.parametrize("use_desc", [False, True],
@@ -135,6 +136,7 @@ def test_ba_converges_and_early_exits():
     kf0 = add_rendered_keyframe(ba, cam, scene, se3.identity(), 0)
     ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False)
     add_rendered_keyframe(ba, cam, scene, synthetic.pose(tx=0.02), 1)
-    # Unperturbed: should converge in very few iterations.
-    iters = ba.bundle_adjustment(max_iterations=10)
+    # Unperturbed: should converge in very few iterations (opt-in sync
+    # convergence check; disabled by default for read-free operation).
+    iters = ba.bundle_adjustment(max_iterations=10, convergence_check=True)
     assert iters <= 3

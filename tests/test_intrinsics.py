@@ -107,8 +107,8 @@ def test_color_intrinsics_recovery():
     rng = np.random.default_rng(13)
     cam, ba, gt, frames = build_ba(rng)
     ks = ba.keyframes
-    kstack = ks.stack(ks.valid_ids())
-    raw = ks.stack_raw(ks.valid_ids())
+    kstack = ks.stack()
+    raw = ks.stack_raw()
     params = ba.depth_params
 
     bad_cam = cam.with_intrinsics(

@@ -1,0 +1,159 @@
+"""Loop-closure stack tests: pose graph, RANSAC, trajectory deformation,
+feature matching (test_pose_graph_optimizer.cc analog and beyond)."""
+
+import numpy as np
+import pytest
+
+from badslam_tpu.geometry import se3_np as s3
+from badslam_tpu.loop.detector import LoopDetector, average_poses
+from badslam_tpu.loop.features import bow_score, extract_features, match_descriptors
+from badslam_tpu.loop.pose_graph import (
+    PoseGraphEdge,
+    odometry_chain_edges,
+    optimize_pose_graph,
+)
+from badslam_tpu.loop.ransac import ransac_point_cloud_alignment, rigid_align
+from badslam_tpu.loop.trajectory import (
+    extrapolate_and_interpolate_keyframe_pose_changes,
+)
+
+import synthetic
+
+
+def rand_pose(rng, t_scale=0.1, r_scale=0.05):
+    return s3.exp(np.concatenate([
+        rng.uniform(-t_scale, t_scale, 3), rng.uniform(-r_scale, r_scale, 3)
+    ]))
+
+
+def test_se3_np_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        p = rand_pose(rng, 1.0, 1.0)
+        err = np.linalg.norm(s3.log(s3.mul(s3.inverse(p), p)))
+        assert err < 1e-9
+        p2 = s3.exp(s3.log(p))
+        assert np.linalg.norm(s3.log(s3.mul(s3.inverse(p), p2))) < 1e-9
+
+
+def test_rigid_align_exact():
+    rng = np.random.default_rng(1)
+    gt = rand_pose(rng, 0.5, 0.8)
+    a = rng.normal(size=(50, 3))
+    b = s3.transform_points(gt, a)
+    est = rigid_align(a, b)
+    assert np.linalg.norm(s3.log(s3.mul(s3.inverse(est), gt))) < 1e-9
+
+
+def test_ransac_with_outliers():
+    rng = np.random.default_rng(2)
+    gt = rand_pose(rng, 0.5, 0.5)
+    a = rng.normal(size=(120, 3)) * 2.0
+    b = s3.transform_points(gt, a)
+    # 40% outliers.
+    n_out = 48
+    b[:n_out] += rng.normal(size=(n_out, 3)) * 1.0
+    pose, inliers = ransac_point_cloud_alignment(a, b, threshold=0.03,
+                                                 rng=rng)
+    assert pose is not None
+    assert inliers[n_out:].mean() > 0.95
+    assert np.linalg.norm(s3.log(s3.mul(s3.inverse(pose), gt))) < 1e-2
+
+
+def test_pose_graph_closes_drifted_loop():
+    """10 keyframes on a circle with odometry drift; one loop edge fixes
+    the accumulated error (test_pose_graph_optimizer.cc analog, with an
+    actual correctness assertion instead of a smoke test)."""
+    rng = np.random.default_rng(3)
+    n = 10
+    gt = [s3.identity()]
+    for i in range(1, n):
+        gt.append(s3.mul(gt[-1], s3.exp(np.array([0.2, 0, 0, 0, 0.1, 0]))))
+
+    # Odometry with bias -> drifted estimates.
+    est = [s3.identity()]
+    for i in range(1, n):
+        odo = s3.mul(s3.inverse(gt[i - 1]), gt[i])
+        noisy = s3.mul(odo, s3.exp(np.array([0.01, 0.004, 0, 0, 0.004, 0])))
+        est.append(s3.mul(est[-1], noisy))
+
+    drift_before = np.linalg.norm(
+        s3.log(s3.mul(s3.inverse(est[-1]), gt[-1])))
+    assert drift_before > 0.05
+
+    edges = odometry_chain_edges(est)
+    # Loop edge: perfect relative measurement between first and last.
+    z = s3.mul(s3.inverse(gt[0]), gt[-1])
+    edges.append(PoseGraphEdge(0, n - 1, z, weight=1.0))
+    opt = optimize_pose_graph(est, edges, fixed=0, iterations=30)
+
+    drift_after = np.linalg.norm(s3.log(s3.mul(s3.inverse(opt[-1]), gt[-1])))
+    assert drift_after < 0.3 * drift_before, (drift_before, drift_after)
+
+
+def test_trajectory_deformation_interpolates():
+    # Frames 0..10; keyframes at 0, 5, 10. Keyframe 5 and 10 shift by +x.
+    frames = [s3.SE3(np.array([1.0, 0, 0, 0]), np.array([float(i), 0, 0]))
+              for i in range(11)]
+    kf_idx = [0, 5, 10]
+    old_kf_T_global = [s3.inverse(frames[i]) for i in kf_idx]
+    shift = s3.SE3(np.array([1.0, 0, 0, 0]), np.array([0.0, 1.0, 0]))
+    new_kf = [frames[0], s3.mul(shift, frames[5]), s3.mul(shift, frames[10])]
+
+    out = extrapolate_and_interpolate_keyframe_pose_changes(
+        frames, kf_idx, old_kf_T_global, new_kf)
+    # Keyframes exact.
+    assert np.allclose(out[5].t, new_kf[1].t)
+    assert np.allclose(out[10].t, new_kf[2].t)
+    # Frame 2 in between 0 (unmoved) and 5 (moved +1y): ~40% of the shift.
+    assert 0.3 < out[2].t[1] < 0.5
+    # Frame 7 between two fully moved keyframes: full shift.
+    assert abs(out[7].t[1] - 1.0) < 1e-5
+
+
+def _textured_intensity(rng, h, w):
+    """Random blobs so ORB finds corners (the analytic sinusoid is too
+    smooth for FAST)."""
+    img = rng.uniform(0.2, 0.8, (h // 8, w // 8))
+    img = np.kron(img, np.ones((8, 8)))
+    return (img * 255).astype(np.uint8)
+
+
+def test_feature_matching_and_detection():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(5)
+    cam = synthetic.default_camera(320, 240)
+    gray = _textured_intensity(rng, 240, 320)
+    depth = np.full((240, 320), 2.0, np.float32)
+
+    f = extract_features(gray, depth, cam)
+    assert len(f.descriptors) > 50
+
+    # Same image matches itself densely; shifted image still matches.
+    pairs = match_descriptors(f.descriptors, f.descriptors)
+    assert len(pairs) == len(f.descriptors)
+    assert bow_score(f.descriptors, f.descriptors) > 0.99
+
+    det = LoopDetector(cam=cam, recent_window=3, temporal_consistency=1)
+    det.add_keyframe(gray, depth)            # 0
+    other = _textured_intensity(np.random.default_rng(99), 240, 320)
+    for _ in range(4):                       # 1..4 distinct frames
+        det.add_keyframe(other, depth)
+    kf = det.add_keyframe(gray, depth)       # 5: revisits keyframe 0
+    cand = det.detect_candidate(kf)
+    assert cand == 0
+    init = det.initial_alignment(kf, cand)
+    assert init is not None
+    pose, inliers = init
+    # Same viewpoint: identity alignment.
+    assert np.linalg.norm(pose.t) < 0.05
+    assert inliers > 50
+
+
+def test_average_poses():
+    rng = np.random.default_rng(6)
+    base = rand_pose(rng, 0.5, 0.5)
+    poses = [s3.mul(base, s3.exp(np.array([d, -d, 0, 0, 0, d])))
+             for d in (-0.01, 0.0, 0.01)]
+    avg = average_poses(poses)
+    assert np.linalg.norm(s3.log(s3.mul(s3.inverse(avg), base))) < 5e-3

@@ -32,7 +32,7 @@ def test_creation_respects_sparsification_grid():
     rng = np.random.default_rng(21)
     cam, scene, ba = build(rng)
     kf0 = add_kf(ba, cam, scene, se3.identity(), 0)
-    created = ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False)
+    created = int(ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False))
     # At most one surfel per 4x4 cell.
     assert created <= (120 // 4) * (160 // 4)
     assert created > 0.5 * (120 // 4) * (160 // 4)
@@ -44,9 +44,9 @@ def test_creation_is_deduplicated_by_supporting_surfels():
     rng = np.random.default_rng(22)
     cam, scene, ba = build(rng)
     kf0 = add_kf(ba, cam, scene, se3.identity(), 0)
-    first = ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False)
+    first = int(ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False))
     # Re-running creation for the same keyframe creates ~nothing new.
-    second = ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False)
+    second = int(ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False))
     assert second < 0.02 * first, (first, second)
 
 
@@ -60,10 +60,10 @@ def test_observation_filter_rejects_unobserved():
         se3.exp(jnp.array([0, 0, 0, 0.0, np.pi, 0.0], jnp.float32)),
     )
     add_kf(ba, cam, scene, far, 1)
-    assert 1 not in ba.keyframes.covisibility[kf0]
+    assert not bool(ba.keyframes.covis[kf0, 1])
     # With 2 keyframes, min_observation_count=2, but kf0 has no covisible
     # keyframes: the filter rejects everything (observations = 1 self only).
-    created = ba.create_surfels_for_keyframe(kf0, filter_new_surfels=True)
+    created = int(ba.create_surfels_for_keyframe(kf0, filter_new_surfels=True))
     assert created == 0
 
 
@@ -72,8 +72,8 @@ def test_observation_filter_accepts_covisible():
     cam, scene, ba = build(rng)
     kf0 = add_kf(ba, cam, scene, se3.identity(), 0)
     add_kf(ba, cam, scene, synthetic.pose(tx=0.02), 1)
-    assert 1 in ba.keyframes.covisibility[kf0]
-    created = ba.create_surfels_for_keyframe(kf0, filter_new_surfels=True)
+    assert bool(ba.keyframes.covis[kf0, 1])
+    created = int(ba.create_surfels_for_keyframe(kf0, filter_new_surfels=True))
     assert created > 500
 
 
@@ -95,7 +95,7 @@ def test_merge_removes_duplicates():
     ba.surfels = dup._replace(valid=dup.valid | saved.valid)
     assert int(ba.surfels.count) == 2 * n1
 
-    ba._merge_for_keyframe(kf0)
+    ba._merge_surfels_masked(ba.keyframes.mask_for_ids([kf0]))
     # Exactly the duplicates are merged away.
     assert int(ba.surfels.count) == n1
 
