@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write final surfel cloud as binary PLY")
     p.add_argument("--export_final_timings", default=None,
                    help="write the timing report to this path")
+    p.add_argument("--save_state", default=None,
+                   help="write a full state snapshot (.npz) after the run")
+    p.add_argument("--load_state", default=None,
+                   help="resume from a state snapshot before processing")
+    p.add_argument("--export_calibration", default=None,
+                   help="write calibration text files with this prefix")
     p.add_argument("--final_ba", action="store_true",
                    help="run windowed + global final BA after the frame loop")
     p.add_argument("--final_ba_window_size", type=int, default=16)
@@ -77,8 +83,15 @@ def main(argv=None) -> int:
     from badslam_tpu.utils.timing import Timing
 
     video = load_tum_dataset(args.dataset, args.trajectory_filename)
-    slam = BadSlam(config, video)
-    slam.run(progress=not args.quiet)
+    if args.load_state:
+        from badslam_tpu.io.state import load_state
+
+        slam = load_state(args.load_state, video)
+        start = slam.last_frame_index + 1
+    else:
+        slam = BadSlam(config, video)
+        start = None
+    slam.run(start=start, progress=not args.quiet)
 
     if args.final_ba:
         slam.final_bundle_adjustment(
@@ -91,6 +104,16 @@ def main(argv=None) -> int:
     if args.export_point_cloud:
         slam.export_point_cloud(args.export_point_cloud)
         print(f"point cloud written to {args.export_point_cloud}")
+    if args.save_state:
+        from badslam_tpu.io.state import save_state
+
+        save_state(slam, args.save_state)
+        print(f"state written to {args.save_state}")
+    if args.export_calibration:
+        from badslam_tpu.io.state import save_calibration
+
+        save_calibration(slam.cam, slam.direct_ba.depth_params,
+                         args.export_calibration)
     if args.export_final_timings:
         Timing.save(args.export_final_timings)
     if not args.quiet:
