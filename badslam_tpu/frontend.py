@@ -401,9 +401,17 @@ class BadSlam:
         self, window_size: int = 16, window_stride: int = 8
     ) -> None:
         """Post-loop final BA: sliding windows then global passes
-        (main.cc:765-809)."""
+        (main.cc:765-809). With config.use_pcg the global pass uses the
+        PCG solver (--use_pcg analog; sequential only, bad_slam.cc:1273)."""
         kf_count = self.direct_ba.keyframes.count
         if kf_count == 0:
+            return
+        if self.config.use_pcg:
+            from badslam_tpu.ba.pcg import pcg_bundle_adjustment
+
+            pcg_bundle_adjustment(self.direct_ba, max_iterations=10)
+            self._apply_ba_pose_updates()
+            self.final_ba_done = True
             return
         lo = 0
         while lo < kf_count:
