@@ -284,7 +284,7 @@ def compute_min_max_depth(depth: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "sigma_xy",
                                              "radius_factor", "sigma_inv_depth",
-                                             "cell_size"))
+                                             "cell_size", "use_pallas"))
 def preprocess_frame(
     cam: PinholeCamera,
     depth_metric: jax.Array,
@@ -296,6 +296,7 @@ def preprocess_frame(
     a: jax.Array | float = 0.0,
     cfactor: Optional[jax.Array] = None,
     cell_size: int = 4,
+    use_pallas: Optional[bool] = None,
 ) -> ProcessedFrame:
     """Full preprocessing pipeline for one frame — single fused XLA program.
 
@@ -304,9 +305,20 @@ def preprocess_frame(
     device program instead of 4 kernel launches.
     """
     intensity = compute_brightness(rgb) if rgb.ndim == 3 else rgb
-    filtered = bilateral_filter_and_cutoff(
-        depth_metric, max_depth, sigma_xy, radius_factor, sigma_inv_depth
-    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from badslam_tpu.ops.pallas_kernels import (
+            bilateral_filter_and_cutoff_pallas,
+        )
+
+        filtered = bilateral_filter_and_cutoff_pallas(
+            depth_metric, max_depth, sigma_xy, radius_factor, sigma_inv_depth
+        )
+    else:
+        filtered = bilateral_filter_and_cutoff(
+            depth_metric, max_depth, sigma_xy, radius_factor, sigma_inv_depth
+        )
     calibrated = apply_depth_deformation(filtered, a, cfactor, cell_size)
     d1, nx, ny = compute_normals(cam, calibrated)
     d2, radius2 = compute_radii_and_remove_isolated(cam, d1)
