@@ -67,6 +67,11 @@ class BadSlam:
         self.final_ba_done = False
         self.bundle_adjustment_counter = 0
         self.loop_closure_count = 0
+        # Parallel-BA mode: iterations queued at keyframes, drained a few
+        # per frame between keyframes (the reference's BA-thread iteration
+        # queue, bad_slam.h:301-325; on one chip JAX's async dispatch
+        # interleaves the device work the same way stream priorities do).
+        self.queued_ba_iterations = 0
 
         self.loop_detector = None
         if config.enable_loop_detection:
@@ -84,6 +89,11 @@ class BadSlam:
         depth = jnp.array(
             depth_u16.astype(np.float32) * c.raw_to_float_depth
         )
+        if c.median_filter_and_densify_iterations > 0:
+            from badslam_tpu.ops.preprocess import median_filter_and_densify
+
+            for _ in range(c.median_filter_and_densify_iterations):
+                depth = median_filter_and_densify(depth)
         params = self.direct_ba.depth_params
         frame = preprocess_frame(
             self.cam, depth, jnp.array(rgb),
@@ -163,10 +173,27 @@ class BadSlam:
         self.base_kf_tr_frame.append(base_T_frame)
         self.last_frame_index = frame_index
 
+        # Drain queued BA iterations between keyframes (parallel BA mode).
+        if self.queued_ba_iterations > 0:
+            n = min(self.queued_ba_iterations, 2)
+            self.direct_ba.bundle_adjustment(
+                max_iterations=n,
+                do_surfel_updates=c.do_surfel_updates,
+                increase_ba_iteration_count=False,
+            )
+            self.queued_ba_iterations -= n
+            self._apply_ba_pose_updates()
+
         # Keyframe policy: every keyframe_interval-th processed frame
         # (bad_slam.cc:202-204), plus always the first.
         frames_processed = frame_index - c.start_frame
         if is_first or frames_processed % c.keyframe_interval == 0:
+            # Memory-pressure guard: merge redundant keyframes when the
+            # store approaches its configured bound (bad_slam.cc:962-972).
+            ks = self.direct_ba.keyframes
+            if ks.count >= c.max_keyframe_count - 2:
+                ks.merge_redundant_keyframes(4)
+
             self.create_keyframe(frame_index, frame, pyramid, global_T_frame)
 
             if c.max_num_ba_iterations_per_keyframe > 0 and not is_first:
@@ -182,15 +209,30 @@ class BadSlam:
                          % c.intrinsics_optimization_interval == 0)
                 )
                 self.bundle_adjustment_counter += 1
-                with Timing.time("bundle adjustment"):
-                    self.direct_ba.bundle_adjustment(
-                        max_iterations=c.max_num_ba_iterations_per_keyframe,
-                        do_surfel_updates=c.do_surfel_updates,
-                        optimize_depth_intrinsics=(
-                            opt_intr and c.use_geometric_residuals),
-                        optimize_color_intrinsics=(
-                            opt_intr and c.use_photometric_residuals),
-                    )
+                if c.parallel_ba:
+                    # Run a couple of iterations now, queue the rest to be
+                    # drained between frames.
+                    with Timing.time("bundle adjustment"):
+                        self.direct_ba.bundle_adjustment(
+                            max_iterations=2,
+                            do_surfel_updates=c.do_surfel_updates,
+                            optimize_depth_intrinsics=(
+                                opt_intr and c.use_geometric_residuals),
+                            optimize_color_intrinsics=(
+                                opt_intr and c.use_photometric_residuals),
+                        )
+                    self.queued_ba_iterations += max(
+                        0, c.max_num_ba_iterations_per_keyframe - 2)
+                else:
+                    with Timing.time("bundle adjustment"):
+                        self.direct_ba.bundle_adjustment(
+                            max_iterations=c.max_num_ba_iterations_per_keyframe,
+                            do_surfel_updates=c.do_surfel_updates,
+                            optimize_depth_intrinsics=(
+                                opt_intr and c.use_geometric_residuals),
+                            optimize_color_intrinsics=(
+                                opt_intr and c.use_photometric_residuals),
+                        )
                 self._apply_ba_pose_updates()
                 if self.direct_ba.intrinsics_updated:
                     self.cam = self.direct_ba.cam
@@ -380,8 +422,14 @@ class BadSlam:
         c = self.config
         start = c.start_frame if start is None else start
         end = min(len(self.video), c.end_frame) if end is None else end
+        from badslam_tpu.io.preload import PreLoadThread
+
+        preload = PreLoadThread(self.video)
         for i in range(start, end):
             t0 = time.perf_counter()
+            preload.wait_until_done()
+            if i + 1 < end:
+                preload.preload(i + 1)
             self.process_frame(i)
             self.video.clear_frame(i)
             if progress:
@@ -396,6 +444,7 @@ class BadSlam:
                 dt = time.perf_counter() - t0
                 if dt < budget:
                     time.sleep(budget - dt)
+        preload.stop()
 
     def final_bundle_adjustment(
         self, window_size: int = 16, window_stride: int = 8

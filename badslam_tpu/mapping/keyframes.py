@@ -346,6 +346,29 @@ class KeyframeStore:
             self.valid & window, ACTIVE, INACTIVE
         )
 
+    def merge_redundant_keyframes(self, approx_merge_count: int):
+        """Invalidate the most redundant keyframes (memory-pressure path,
+        MergeKeyframes analog). Scoring and selection run on device; the
+        freed slot indices are read back ONCE so the host can recycle them
+        — this mirrors the reference's cudaMemGetInfo-gated rare path
+        (bad_slam.cc:962-972) and is the only non-loop-closure read.
+
+        Returns the freed slot indices (host list)."""
+        import numpy as np  # noqa: F811
+
+        scores = _redundancy_scores(self.q, self.t, self.valid)
+        k = min(approx_merge_count, max(0, self.count - 2))
+        if k == 0:
+            return []
+        _, sel = jax.lax.top_k(-scores, k)
+        finite = jnp.isfinite(scores[sel])
+        sel_np = np.asarray(sel)          # d2h: rare memory-pressure path
+        fin_np = np.asarray(finite)
+        freed = [int(i) for i, f in zip(sel_np, fin_np) if f]
+        for i in freed:
+            self.remove_keyframe(i)
+        return freed
+
     def recalibrate(self, cam, a, cfactor, cell_size: int) -> None:
         """Re-derive calibrated depth / normals / radii for ALL keyframes
         after a self-calibration update (one batched device pass).
@@ -376,3 +399,37 @@ class KeyframeStore:
             self.valid, jnp.max(jnp.where(v, depth, 0.0), axis=(1, 2)),
             self.max_depth,
         )
+
+
+@jax.jit
+def _redundancy_scores(q, t, valid):
+    """Per-keyframe merge score: distance+angle to the previous and next
+    valid keyframes, 90deg counting as 0.5 m (MergeKeyframes,
+    direct_ba.cc:251-338). Ineligible keyframes (id 0, ends, or beyond the
+    0.3 m / 45deg gates) score +inf."""
+    cap = q.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    big = jnp.int32(cap + 1)
+
+    # prev valid index (exclusive cummax), next valid index (reverse cummin)
+    vi = jnp.where(valid, idx, -1)
+    prev = jax.lax.associative_scan(jnp.maximum, vi)
+    prev = jnp.concatenate([jnp.array([-1], jnp.int32), prev[:-1]])
+    ni = jnp.where(valid, idx, big)
+    nxt = jax.lax.associative_scan(jnp.minimum, ni, reverse=True)
+    nxt = jnp.concatenate([nxt[1:], jnp.array([big], jnp.int32)])
+
+    R = jax.vmap(se3.quat_to_matrix)(q)
+    z_axis = R[:, :, 2]  # viewing directions
+
+    def half_dist(a, b_idx):
+        b = jnp.clip(b_idx, 0, cap - 1)
+        ang = jnp.arccos(jnp.clip(
+            jnp.sum(z_axis[a] * z_axis[b], axis=-1), -1.0, 1.0))
+        dist = jnp.linalg.norm(t[a] - t[b], axis=-1)
+        ok = (ang <= 0.25 * jnp.pi * 2.0 * 0.5) & (dist <= 0.3)
+        return jnp.where(ok, dist + (0.5 / (jnp.pi / 2.0)) * ang, jnp.inf)
+
+    score = half_dist(idx, prev) + half_dist(idx, nxt)
+    eligible = valid & (idx > 0) & (prev >= 0) & (nxt < big)
+    return jnp.where(eligible, score, jnp.inf)

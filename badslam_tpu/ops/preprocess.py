@@ -332,3 +332,96 @@ def preprocess_frame(
         intensity=intensity,
         raw_depth=jnp.where(keep, filtered, 0.0),
     )
+
+
+def median_filter_and_densify(depth: jax.Array) -> jax.Array:
+    """3x3 median filter + densification on raw depth (0 = invalid).
+
+    Rebuild of MedianFilterAndDensifyDepthMap (preprocessing.cc:40-86):
+    pixels with >= 2 valid values in their 3x3 neighborhood get the median
+    of the valid values (even counts pick the middle element closer to the
+    mean); others pass through. Vectorized via a fixed 9-slot sort network
+    with invalid slots pushed to +inf.
+    """
+    big = jnp.float32(3.4e38)
+    slots = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            v = shift2d(depth, dy, dx, fill=0.0)
+            slots.append(jnp.where(v > 0, v, big))
+    stack = jnp.stack(slots, axis=-1)            # [H, W, 9]
+    count = jnp.sum(stack < big, axis=-1)        # valid neighbor count
+    s = jnp.sort(stack, axis=-1)
+
+    # Median of the first `count` sorted entries.
+    mid_hi = count // 2                          # index of upper middle
+    mid_lo = jnp.maximum(mid_hi - 1, 0)
+    hi = jnp.take_along_axis(s, mid_hi[..., None], axis=-1)[..., 0]
+    lo = jnp.take_along_axis(s, mid_lo[..., None], axis=-1)[..., 0]
+    finite = jnp.where(stack < big, stack, 0.0)
+    mean = jnp.sum(finite, axis=-1) / jnp.maximum(count, 1)
+    even = (count % 2) == 0
+    median = jnp.where(
+        even & (jnp.abs(lo - mean) < jnp.abs(hi - mean)), lo, hi
+    )
+    return jnp.where(count >= 2, median, depth)
+
+
+def create_undistortion_map(
+    distort_fn, undistorted_cam: PinholeCamera, height: int, width: int
+):
+    """[H, W, 2] map: for each undistorted pixel center, the source pixel
+    coordinates in the distorted image (CreateUndistortionMap analog,
+    undistortion.h:40-58). `distort_fn(nx, ny) -> (px, py)` implements the
+    source camera's projection of normalized coords to pixel-corner coords.
+    """
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    nx = undistorted_cam.fx_inv * xs.astype(jnp.float32) + undistorted_cam.cx_inv
+    ny = undistorted_cam.fy_inv * ys.astype(jnp.float32) + undistorted_cam.cy_inv
+    px, py = distort_fn(nx, ny)
+    return jnp.stack([px, py], axis=-1)
+
+
+def undistort_image(image: jax.Array, undistortion_map: jax.Array,
+                    nearest: bool = False) -> jax.Array:
+    """Remap an image through an undistortion map (UndistortImage analog).
+    Bilinear for color/intensity; nearest for depth (`nearest=True`)."""
+    from badslam_tpu.ops.interp import bilinear, gather_nearest
+
+    h, w = image.shape[:2]
+    px = undistortion_map[..., 0]
+    py = undistortion_map[..., 1]
+    inside = (px >= 0) & (py >= 0) & (px < w) & (py < h)
+    if nearest:
+        xi = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 1)
+        if image.ndim == 2:
+            out = gather_nearest(image, xi, yi)
+        else:
+            out = image[yi, xi]
+        return jnp.where(
+            inside if image.ndim == 2 else inside[..., None], out, 0)
+    if image.ndim == 2:
+        out = bilinear(image, px, py)
+        return jnp.where(inside, out, 0.0)
+    chans = [bilinear(image[..., c], px, py) for c in range(image.shape[-1])]
+    out = jnp.stack(chans, axis=-1)
+    return jnp.where(inside[..., None], out, 0.0)
+
+
+def radtan_distort_fn(cam: PinholeCamera, k1: float, k2: float,
+                      p1: float = 0.0, p2: float = 0.0):
+    """Radial-tangential (Brown) distortion projection for undistortion-map
+    construction (the reference's RadtanCamera analog, camera.h)."""
+
+    def fn(nx, ny):
+        r2 = nx * nx + ny * ny
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        dx = 2.0 * p1 * nx * ny + p2 * (r2 + 2.0 * nx * nx)
+        dy = p1 * (r2 + 2.0 * ny * ny) + 2.0 * p2 * nx * ny
+        xd = nx * radial + dx
+        yd = ny * radial + dy
+        return cam.fx * xd + cam.cx, cam.fy * yd + cam.cy
+
+    return fn
