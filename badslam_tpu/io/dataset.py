@@ -27,6 +27,14 @@ from badslam_tpu.geometry.camera import PinholeCamera
 
 
 def _imread_depth(path: str) -> np.ndarray:
+    from badslam_tpu.io import native_loader
+
+    if native_loader.available():
+        img = native_loader.read_png(path)
+        if img is not None:
+            if img.ndim == 3:
+                img = img[..., 0]
+            return img.astype(np.uint16)
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
@@ -38,6 +46,14 @@ def _imread_depth(path: str) -> np.ndarray:
 
 
 def _imread_color(path: str) -> np.ndarray:
+    from badslam_tpu.io import native_loader
+
+    if native_loader.available():
+        img = native_loader.read_png(path)
+        if img is not None:
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            return np.ascontiguousarray(img[..., :3]).astype(np.uint8)
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_COLOR)
