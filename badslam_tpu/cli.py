@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 from badslam_tpu.config import BadSlamConfig
@@ -58,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from a state snapshot before processing")
     p.add_argument("--export_calibration", default=None,
                    help="write calibration text files with this prefix")
+    p.add_argument("--export_viewer", default=None,
+                   help="write a self-contained HTML map viewer to this path")
     p.add_argument("--final_ba", action="store_true",
                    help="run windowed + global final BA after the frame loop")
     p.add_argument("--final_ba_window_size", type=int, default=16)
@@ -74,7 +77,22 @@ def config_from_args(args) -> BadSlamConfig:
     return BadSlamConfig(**kwargs)
 
 
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: tracker/BA compiles through the
+    axon relay take minutes; caching makes reruns start in seconds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/badslam_tpu/xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compilation_cache()
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
 
@@ -104,6 +122,11 @@ def main(argv=None) -> int:
     if args.export_point_cloud:
         slam.export_point_cloud(args.export_point_cloud)
         print(f"point cloud written to {args.export_point_cloud}")
+    if args.export_viewer:
+        from badslam_tpu.viz import export_html_viewer
+
+        export_html_viewer(slam, args.export_viewer)
+        print(f"viewer written to {args.export_viewer}")
     if args.save_state:
         from badslam_tpu.io.state import save_state
 

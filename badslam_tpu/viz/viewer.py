@@ -1,0 +1,198 @@
+"""Standalone WebGL map viewer (the 3D render window's TPU-era analog).
+
+The reference renders surfel splats, keyframe frustums, and trajectories
+live through a CUDA-GL interop VBO
+(/root/reference/applications/badslam/src/badslam/render_window.h:71-178).
+There is no GL interop on TPU and visualization must not sit on the
+compute path (PERF_NOTES.md), so the viewer is DECOUPLED: the map state is
+exported once into a single self-contained HTML file — raw WebGL point
+splats, trajectory polyline, keyframe frustums, orbit/zoom controls, no
+external assets or network access.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import numpy as np
+
+_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>badslam_tpu map</title>
+<style>
+ body { margin:0; background:#111; color:#ccc; font:12px monospace; overflow:hidden }
+ #hud { position:absolute; top:8px; left:8px; z-index:2; user-select:none }
+ canvas { display:block }
+</style></head>
+<body>
+<div id="hud">badslam_tpu viewer — drag: orbit, wheel: zoom, shift-drag: pan<br>
+ points: <span id="np"></span> · keyframes: <span id="nk"></span> · frames: <span id="nf"></span></div>
+<canvas id="c"></canvas>
+<script>
+const DATA = __DATA__;
+function decode(b64, dtype) {
+  const raw = atob(b64); const buf = new ArrayBuffer(raw.length);
+  const view = new Uint8Array(buf);
+  for (let i = 0; i < raw.length; i++) view[i] = raw.charCodeAt(i);
+  return dtype === 'u8' ? new Uint8Array(buf) : new Float32Array(buf);
+}
+const pos = decode(DATA.pos, 'f32'), col = decode(DATA.col, 'u8');
+const traj = decode(DATA.traj, 'f32'), kf = decode(DATA.kf, 'f32');
+document.getElementById('np').textContent = pos.length / 3;
+document.getElementById('nk').textContent = DATA.kf_count;
+document.getElementById('nf').textContent = traj.length / 3;
+
+const canvas = document.getElementById('c');
+const gl = canvas.getContext('webgl');
+const VS = `attribute vec3 p; attribute vec3 c; uniform mat4 mvp;
+ uniform float ps; varying vec3 vc;
+ void main(){ gl_Position = mvp*vec4(p,1.0); gl_PointSize = ps; vc = c; }`;
+const FS = `precision mediump float; varying vec3 vc;
+ void main(){ gl_FragColor = vec4(vc,1.0); }`;
+function shader(type, src){ const s = gl.createShader(type);
+ gl.shaderSource(s, src); gl.compileShader(s); return s; }
+const prog = gl.createProgram();
+gl.attachShader(prog, shader(gl.VERTEX_SHADER, VS));
+gl.attachShader(prog, shader(gl.FRAGMENT_SHADER, FS));
+gl.linkProgram(prog); gl.useProgram(prog);
+const locP = gl.getAttribLocation(prog, 'p');
+const locC = gl.getAttribLocation(prog, 'c');
+const locM = gl.getUniformLocation(prog, 'mvp');
+const locS = gl.getUniformLocation(prog, 'ps');
+
+function makeBuf(arr){ const b = gl.createBuffer();
+ gl.bindBuffer(gl.ARRAY_BUFFER, b);
+ gl.bufferData(gl.ARRAY_BUFFER, arr, gl.STATIC_DRAW); return b; }
+const posBuf = makeBuf(pos);
+const colF = new Float32Array(col.length);
+for (let i = 0; i < col.length; i++) colF[i] = col[i] / 255.0;
+const colBuf = makeBuf(colF);
+const trajBuf = makeBuf(traj);
+const kfBuf = makeBuf(kf);
+
+// camera: orbit around the centroid
+let cx=0, cy=0, cz=0;
+for (let i=0;i<pos.length;i+=3){cx+=pos[i];cy+=pos[i+1];cz+=pos[i+2];}
+const n3 = Math.max(1, pos.length/3); cx/=n3; cy/=n3; cz/=n3;
+let yaw=0.6, pitch=0.4, dist=4.0, panX=0, panY=0;
+let drag=null;
+canvas.onmousedown = e => drag = {x:e.clientX, y:e.clientY, shift:e.shiftKey};
+window.onmouseup = () => drag = null;
+window.onmousemove = e => { if(!drag) return;
+ const dx=e.clientX-drag.x, dy=e.clientY-drag.y;
+ if (drag.shift){ panX -= dx*0.002*dist; panY += dy*0.002*dist; }
+ else { yaw += dx*0.005; pitch += dy*0.005; }
+ drag.x=e.clientX; drag.y=e.clientY; };
+canvas.onwheel = e => { dist *= Math.exp(e.deltaY*0.001); e.preventDefault(); };
+
+function mat(){
+ const w = canvas.width = innerWidth, h = canvas.height = innerHeight;
+ gl.viewport(0,0,w,h);
+ const f = 1.5, a = w/h, near=0.01, far=1000;
+ const P = [f/a,0,0,0, 0,f,0,0, 0,0,(far+near)/(near-far),-1,
+            0,0,2*far*near/(near-far),0];
+ const cp=Math.cos(pitch), sp=Math.sin(pitch), cyw=Math.cos(yaw), syw=Math.sin(yaw);
+ const ex = cx + dist*cp*syw + panX, ey = cy + dist*sp + panY, ez = cz + dist*cp*cyw;
+ // lookAt
+ let zx=ex-cx-panX, zy=ey-cy-panY, zz=ez-cz; const zl=Math.hypot(zx,zy,zz);
+ zx/=zl; zy/=zl; zz/=zl;
+ let xx=zz, xy2=0, xz=-zx; const xl=Math.hypot(xx,xy2,xz)||1; xx/=xl; xz/=xl;
+ const yx=zy*xz, yy=zz*xx-zx*xz, yz=-zy*xx;
+ const V = [xx,yx,zx,0, xy2,yy,zy,0, xz,yz,zz,0,
+   -(xx*ex+xy2*ey+xz*ez), -(yx*ex+yy*ey+yz*ez), -(zx*ex+zy*ey+zz*ez), 1];
+ // P*V
+ const M = new Float32Array(16);
+ for (let r=0;r<4;r++) for (let c2=0;c2<4;c2++){ let s=0;
+   for(let k=0;k<4;k++) s += P[k*4+r]*V[c2*4+k]; M[c2*4+r]=s; }
+ return M;
+}
+
+function draw(buf, colbuf, mode, count, size, color){
+ gl.bindBuffer(gl.ARRAY_BUFFER, buf);
+ gl.enableVertexAttribArray(locP);
+ gl.vertexAttribPointer(locP, 3, gl.FLOAT, false, 0, 0);
+ if (colbuf){ gl.bindBuffer(gl.ARRAY_BUFFER, colbuf);
+   gl.enableVertexAttribArray(locC);
+   gl.vertexAttribPointer(locC, 3, gl.FLOAT, false, 0, 0); }
+ else { gl.disableVertexAttribArray(locC);
+   gl.vertexAttrib3f(locC, color[0], color[1], color[2]); }
+ gl.uniform1f(locS, size);
+ gl.drawArrays(mode, 0, count);
+}
+
+function frame(){
+ const M = mat();
+ gl.clearColor(0.07,0.07,0.09,1); gl.enable(gl.DEPTH_TEST);
+ gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
+ gl.uniformMatrix4fv(locM, false, M);
+ draw(posBuf, colBuf, gl.POINTS, pos.length/3, 2.0);
+ draw(trajBuf, null, gl.LINE_STRIP, traj.length/3, 1.0, [0.2,0.9,0.3]);
+ draw(kfBuf, null, gl.LINES, kf.length/3, 1.0, [0.95,0.6,0.1]);
+ requestAnimationFrame(frame);
+}
+frame();
+</script></body></html>
+"""
+
+
+def _frustum_lines(q, t, cam, scale=0.08):
+    """[16, 3] line-list vertices for one keyframe frustum."""
+    from badslam_tpu.geometry import se3_np as s3
+
+    corners = []
+    for px, py in ((0, 0), (cam.width, 0), (cam.width, cam.height),
+                   (0, cam.height)):
+        nx = (px - cam.cx) / cam.fx
+        ny = (py - cam.cy) / cam.fy
+        corners.append(np.array([nx * scale, ny * scale, scale]))
+    origin = np.zeros(3)
+    pose = s3.SE3(np.asarray(q, float), np.asarray(t, float))
+    pts = [s3.transform_points(pose, np.stack([origin, c]))
+           for c in corners]
+    lines = []
+    for p in pts:
+        lines.extend([p[0], p[1]])
+    ring = [s3.transform_points(pose, c[None])[0] for c in corners]
+    for i in range(4):
+        lines.extend([ring[i], ring[(i + 1) % 4]])
+    return np.stack(lines)
+
+
+def export_html_viewer(slam, path: str, max_points: int = 400_000) -> None:
+    """Write a self-contained HTML viewer of the current map + trajectory.
+
+    End-of-run only: reads the full device state (like every export)."""
+    pos, nrm, col = slam.direct_ba.export_point_cloud()
+    if len(pos) > max_points:
+        sel = np.random.default_rng(0).choice(
+            len(pos), max_points, replace=False)
+        pos, col = pos[sel], col[sel]
+
+    traj = np.stack([
+        np.asarray(p.t, np.float32) for p in slam.frame_poses if p is not None
+    ]) if any(p is not None for p in slam.frame_poses) else np.zeros((0, 3))
+
+    ks = slam.direct_ba.keyframes
+    kf_lines = []
+    q_np = np.asarray(ks.q) if ks.q is not None else np.zeros((0, 4))
+    t_np = np.asarray(ks.t) if ks.t is not None else np.zeros((0, 3))
+    valid = np.asarray(ks.valid) if ks.valid is not None else np.zeros(0, bool)
+    for i in range(ks.count):
+        if valid[i]:
+            kf_lines.append(_frustum_lines(q_np[i], t_np[i], slam.cam))
+    kf = (np.concatenate(kf_lines) if kf_lines
+          else np.zeros((0, 3))).astype(np.float32)
+
+    def b64(arr, dtype):
+        return base64.b64encode(
+            np.ascontiguousarray(arr, dtype).tobytes()).decode()
+
+    data = dict(
+        pos=b64(pos, np.float32),
+        col=b64(np.clip(col, 0, 255), np.uint8),
+        traj=b64(traj, np.float32),
+        kf=b64(kf, np.float32),
+        kf_count=int(valid[: ks.count].sum()) if ks.count else 0,
+    )
+    with open(path, "w") as f:
+        f.write(_HTML.replace("__DATA__", json.dumps(data)))

@@ -22,7 +22,16 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/badslam_tpu/xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from badslam_tpu import synthetic as syn
