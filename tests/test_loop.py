@@ -157,3 +157,23 @@ def test_average_poses():
              for d in (-0.01, 0.0, 0.01)]
     avg = average_poses(poses)
     assert np.linalg.norm(s3.log(s3.mul(s3.inverse(avg), base))) < 5e-3
+
+
+def test_convergence_analysis_tool():
+    from badslam_tpu.utils.convergence import ConvergenceRecorder, analyze
+
+    rec = ConvergenceRecorder(enabled=True)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        mag = 1e-2
+        for _ in range(20):
+            rec.add_sample(np.concatenate([
+                mag * rng.normal(size=3), 0.1 * mag * rng.normal(size=3)]))
+            mag *= 0.4
+        rec.end_sequence()
+    report = analyze(rec.sequences)
+    assert len(report) == 4
+    # Looser thresholds save more iterations.
+    saved = [r["mean_iterations_saved"] for r in report]
+    assert saved[0] >= saved[-1]
+    assert saved[0] > 3
