@@ -34,7 +34,11 @@ class BadSlamConfig:
     bilateral_filter_sigma_inv_depth: float = 0.005
 
     # --- Surfel reconstruction ---
-    max_surfel_count: int = 25_000_000
+    # The reference preallocates 25M surfel slots but its kernels iterate
+    # only up to the high-water mark (surfels_size_, kernels.cuh). Our map
+    # ops run over the full static capacity (read-free design), so the
+    # default is sized for VGA-scale scenes; raise it for large maps.
+    max_surfel_count: int = 1 << 22
     sparse_surfel_cell_size: int = 4
     surfel_merge_dist_factor: float = 0.8
     min_observation_count_while_bootstrapping_1: int = 1

@@ -515,3 +515,12 @@ def merge_surfels_for_keyframes(
     ids = jnp.arange(k, dtype=jnp.int32)
     smap, _ = jax.lax.scan(body, smap, (ids,))
     return smap
+
+
+@jax.jit
+def debug_verify_surfel_count(smap: SurfelMap) -> jax.Array:
+    """DEVICE-side consistency check (DebugVerifySurfelCount analog,
+    kernel_verify_count.cu): True iff the tracked count equals the number
+    of set validity bits. Returns a device bool — assert on it only in
+    tests/offline tooling (reading it is a sync)."""
+    return jnp.sum(smap.valid.astype(jnp.int32)) == smap.count

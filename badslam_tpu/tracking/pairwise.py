@@ -45,6 +45,10 @@ class TrackingResult(NamedTuple):
     t: jax.Array  # base_T_frame translation
     cost: jax.Array  # final-scale cost (diagnostic)
     residual_count: jax.Array
+    # Divergence diagnostics (device values; the reference logs
+    # non-convergence counters, direct_ba_alternating.cc:246-250 and
+    # pairwise_frame_tracking.cc:649-669):
+    converged: jax.Array  # bool — finest level hit its convergence test
 
 
 def _transform_planes(R: jax.Array, t: jax.Array, x, y, z):
@@ -372,7 +376,8 @@ def _gn_level(
     cam, base, tracked, q, t, scaling_factor, damping, baseline_fx,
     use_depth, use_descriptor, max_iterations,
 ):
-    """Gauss-Newton at one pyramid level, fully on-device with early exit."""
+    """Gauss-Newton at one pyramid level, fully on-device with early exit.
+    Returns (q, t, converged)."""
     threshold_factor = scaling_factor
 
     def cond(carry):
@@ -394,10 +399,10 @@ def _gn_level(
         conv = _is_converged(x, scaling_factor)
         return upd.q, upd.t, it + 1, conv
 
-    q, t, _, _ = jax.lax.while_loop(
+    q, t, _, conv = jax.lax.while_loop(
         cond, body, (q, t, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_))
     )
-    return q, t
+    return q, t, conv
 
 
 def _duel(cam, base, tracked, qa, ta, qb, tb, threshold_factor, baseline_fx,
@@ -477,7 +482,7 @@ def track_frame_pairwise(
                 scaling_factor, baseline_fx, use_depth, use_descriptor,
             )
 
-        q, t = _gn_level(
+        q, t, converged = _gn_level(
             cam, base, tracked, q, t, scaling_factor, damping, baseline_fx,
             use_depth, use_descriptor, max_iterations,
         )
@@ -486,4 +491,5 @@ def track_frame_pairwise(
         cams[finest], base_pyramid[finest], tracked_pyramid[finest], q, t,
         float(2 ** finest), baseline_fx, use_depth, use_descriptor,
     )
-    return TrackingResult(q=q, t=t, cost=cost, residual_count=count)
+    return TrackingResult(q=q, t=t, cost=cost, residual_count=count,
+                          converged=converged)
