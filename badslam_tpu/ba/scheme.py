@@ -95,6 +95,10 @@ class DirectBA:
             cam.height, cam.width, self.config.sparse_surfel_cell_size
         )
         self.intrinsics_updated = False
+        # Host-side upper bound on the surfel count ("surfels_size_" analog,
+        # kernels.cuh:69-93): grown pessimistically on creation, resynced
+        # from the device once per BA call when sync_surfel_bucket is on.
+        self.known_surfel_bound = 0
 
     # ------------------------------------------------------------------
     # Keyframe management
@@ -118,6 +122,18 @@ class DirectBA:
         """Bootstrapping-aware filter from the HOST-known keyframe count."""
         return self.config.min_observation_count_at(self.keyframes.count)
 
+    def _cells_per_keyframe(self) -> int:
+        c = self.config
+        return ((self.cam.height // c.sparse_surfel_cell_size)
+                * (self.cam.width // c.sparse_surfel_cell_size))
+
+    def _bucket_size(self, needed: int) -> int:
+        cap = self.surfels.capacity
+        b = max(1, self.config.surfel_bucket_base)
+        while b < needed and b < cap:
+            b *= 2
+        return min(b, cap)
+
     def create_surfels_for_keyframe(
         self, kf_id: int, filter_new_surfels: bool = True
     ):
@@ -126,6 +142,7 @@ class DirectBA:
         it in the hot loop)."""
         ks = self.keyframes
         mask = jnp.zeros((ks.capacity,), jnp.bool_).at[kf_id].set(True)
+        self.known_surfel_bound += self._cells_per_keyframe()
         return self._create_surfels_masked(mask, filter_new_surfels)
 
     def _create_surfels_masked(self, create_mask, filter_new_surfels=True):
@@ -229,6 +246,16 @@ class DirectBA:
         if ks.count == 0:
             return 0
 
+        # --- high-water working slice of the surfel map ---
+        # Each valid keyframe creates surfels at most once per call
+        # (last_active_iter bookkeeping), so this bound is safe.
+        self.known_surfel_bound += ks.count * self._cells_per_keyframe()
+        bucket = self._bucket_size(self.known_surfel_bound)
+        full_map = self.surfels
+        if bucket < full_map.capacity:
+            self.surfels = jax.tree.map(
+                lambda a: a[:bucket] if a.ndim > 0 else a, full_map)
+
         if (not increase_ba_iteration_count
                 and self.ba_iteration_count != self.last_ba_iteration_count):
             self.last_ba_iteration_count = self.ba_iteration_count
@@ -330,6 +357,25 @@ class DirectBA:
         if increase_ba_iteration_count:
             self.perform_ba_scheme_end_tasks(do_surfel_updates)
             self.ba_iteration_count += 1
+
+        # --- write the working slice back + resync the high-water bound ---
+        if bucket < full_map.capacity:
+            view = self.surfels
+            self.surfels = full_map._replace(
+                pos=full_map.pos.at[:bucket].set(view.pos),
+                normal=full_map.normal.at[:bucket].set(view.normal),
+                radius2=full_map.radius2.at[:bucket].set(view.radius2),
+                color=full_map.color.at[:bucket].set(view.color),
+                desc=full_map.desc.at[:bucket].set(view.desc),
+                valid=full_map.valid.at[:bucket].set(view.valid),
+                active=full_map.active.at[:bucket].set(view.active),
+                count=view.count,
+            )
+        if c.sync_surfel_bucket and increase_ba_iteration_count:
+            # One scalar read per BA call ("surfels_size_" resync). Only
+            # after scheme-end compaction: valid surfels are then packed
+            # into the [0, count) prefix, so the bound may shrink safely.
+            self.known_surfel_bound = int(self.surfels.count) + 64
 
         return iterations_done
 

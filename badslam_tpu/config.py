@@ -75,6 +75,11 @@ class BadSlamConfig:
     # cost of a device->host sync per iteration (keep False on runtimes where
     # readbacks stall, PERF_NOTES.md).
     sync_convergence_checks: bool = False
+    # Read the surfel count once per BA call to size the working slice of
+    # the map ("surfels_size_" high-water analog, kernels.cuh): BA stage
+    # cost then scales with the actual map instead of the static capacity.
+    # Disable on runtimes where any readback degrades the session.
+    sync_surfel_bucket: bool = True
 
     # --- TPU-native capacities (static shapes; no reference equivalent) ---
     max_keyframe_count: int = 512  # stacked keyframe array capacity
