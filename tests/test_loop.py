@@ -177,3 +177,57 @@ def test_convergence_analysis_tool():
     saved = [r["mean_iterations_saved"] for r in report]
     assert saved[0] >= saved[-1]
     assert saved[0] > 3
+
+
+def test_frontend_loop_closure_plumbing(tmp_path):
+    """Exercise the frontend's _attempt_loop_closure glue end-to-end with a
+    known candidate: refinement vs neighbors, gates, pose graph, and
+    trajectory deformation must run and correct an injected drift."""
+    import jax.numpy as jnp
+
+    from badslam_tpu.config import BadSlamConfig
+    from badslam_tpu.frontend import BadSlam
+    from badslam_tpu.geometry import se3
+    from badslam_tpu.io.dataset import load_tum_dataset
+
+    path = str(tmp_path / "ds")
+    cam = synthetic.default_camera(128, 96)
+    scene = synthetic.random_plane_scene(np.random.default_rng(3), 6)
+    gt = synthetic.smooth_trajectory(16, scale=0.006)
+    synthetic.write_tum_dataset(path, cam, scene, gt)
+
+    cfg = BadSlamConfig(num_scales=3, max_surfel_count=1 << 13,
+                        keyframe_interval=4,
+                        max_num_ba_iterations_per_keyframe=0,
+                        enable_loop_detection=True)
+    video = load_tum_dataset(path)
+    slam = BadSlam(cfg, video)
+    slam.run(progress=False)
+    ks = slam.direct_ba.keyframes
+    assert ks.count >= 4
+
+    # Inject drift into the last keyframe + its trailing frames.
+    drift = synthetic.pose(tx=0.004, ty=-0.003, rz=0.002)
+    last = ks.count - 1
+    true_pose = ks.pose(last)
+    ks.set_pose(last, se3.mul(
+        se3.SE3(jnp.asarray(drift.q), jnp.asarray(drift.t)), true_pose))
+
+    before = np.linalg.norm(
+        np.asarray(ks.t[last]) - np.asarray(true_pose.t))
+    assert before > 2e-3
+
+    # Known-good relative measurement current<-matched (use keyframe 0).
+    q_np = np.asarray(ks.q)
+    t_np = np.asarray(ks.t)
+    cur_gt = s3.SE3(np.asarray(true_pose.q, float),
+                    np.asarray(true_pose.t, float))
+    matched = s3.SE3(q_np[0].astype(float), t_np[0].astype(float))
+    cur_T_matched = s3.mul(s3.inverse(cur_gt), matched)
+
+    slam._attempt_loop_closure(last, 0, cur_T_matched)
+    after = np.linalg.norm(
+        np.asarray(slam.direct_ba.keyframes.t[last])
+        - np.asarray(true_pose.t))
+    assert slam.loop_closure_count == 1
+    assert after < 0.5 * before, (before, after)
