@@ -425,3 +425,21 @@ def radtan_distort_fn(cam: PinholeCamera, k1: float, k2: float,
         return cam.fx * xd + cam.cx, cam.fy * yd + cam.cy
 
     return fn
+
+
+def compute_sobel_gradient_magnitude(intensity: jax.Array) -> jax.Array:
+    """3x3 Sobel gradient magnitude of an intensity image, normalized to
+    [0, 1] like the reference's precomputed gradmag textures
+    (ComputeSobelGradientMagnitudeCUDAKernel, cuda_image_processing.cu)."""
+    tl = shift2d(intensity, -1, -1)
+    t = shift2d(intensity, -1, 0)
+    tr = shift2d(intensity, -1, 1)
+    l = shift2d(intensity, 0, -1)
+    r = shift2d(intensity, 0, 1)
+    bl = shift2d(intensity, 1, -1)
+    b = shift2d(intensity, 1, 0)
+    br = shift2d(intensity, 1, 1)
+    gx = (tr + 2.0 * r + br) - (tl + 2.0 * l + bl)
+    gy = (bl + 2.0 * b + br) - (tl + 2.0 * t + tr)
+    # Max |g| for [0,1] inputs is 4*sqrt(2); normalize to keep [0,1].
+    return jnp.sqrt(gx * gx + gy * gy) * (1.0 / (4.0 * jnp.sqrt(2.0)))

@@ -77,6 +77,7 @@ def _image_residuals(
     use_depth: bool,
     use_descriptor: bool,
     with_jacobians: bool,
+    use_gradmag: bool = False,
 ):
     """Shared residual/Jacobian evaluation over all base-frame pixels.
 
@@ -262,11 +263,40 @@ def _image_residuals(
         out["desc_weight_1"] = jnp.where(valid, out["desc_weight_1"], 0.0)
         out["desc_weight_2"] = jnp.where(valid, out["desc_weight_2"], 0.0)
 
+    if use_gradmag:
+        # Gradient-magnitude color residual (cost_function.cuh:322-352):
+        # pyramids must carry gradmag planes in `intensity`. One residual
+        # per pixel: 255 * I_t(projected) - 255 * I_b(pixel).
+        gm_t, g_dx, g_dy = bilinear_and_gradient(
+            tracked.intensity, pxy_x, pxy_y)
+        r_g = jnp.where(valid, 255.0 * gm_t - 255.0 * base.intensity, 0.0)
+        out["gradmag_residual"] = r_g
+        out["gradmag_weight"] = jnp.where(
+            valid, robust.descriptor_residual_weight(r_g, threshold_factor),
+            0.0,
+        )
+        if with_jacobians:
+            gx = 255.0 * g_dx * cam.fx
+            gy = 255.0 * g_dy * cam.fy
+            inv_z = 1.0 / jnp.where(valid, ltz, 1.0)
+            inv_z_sq = inv_z * inv_z
+            z_sq = ltz * ltz
+            xy = ltx * lty
+            out["gradmag_jacobian"] = [
+                -gx * inv_z,
+                -gy * inv_z,
+                (ltx * gx + lty * gy) * inv_z_sq,
+                ((lty * lty + z_sq) * gy + xy * gx) * inv_z_sq,
+                -((ltx * ltx + z_sq) * gx + xy * gy) * inv_z_sq,
+                -(ltx * gy - lty * gx) * inv_z,
+            ]
+
     out["valid"] = valid
     return out
 
 
-def _accumulate_h_b(res, use_depth: bool, use_descriptor: bool):
+def _accumulate_h_b(res, use_depth: bool, use_descriptor: bool,
+                    use_gradmag: bool = False):
     """Stack residual terms into one [P, 8] matrix and reduce (MXU path).
 
     Column layout: [J0..J5, r, 0]; H = M[:6,:6], b = M[:6,6] of
@@ -278,6 +308,9 @@ def _accumulate_h_b(res, use_depth: bool, use_descriptor: bool):
     if use_descriptor:
         terms.append((res["desc_jacobian_1"], res["desc_residual_1"], res["desc_weight_1"]))
         terms.append((res["desc_jacobian_2"], res["desc_residual_2"], res["desc_weight_2"]))
+    if use_gradmag:
+        terms.append((res["gradmag_jacobian"], res["gradmag_residual"],
+                      res["gradmag_weight"]))
 
     H = jnp.zeros((6, 6), jnp.float32)
     b = jnp.zeros((6,), jnp.float32)
@@ -294,7 +327,8 @@ def _accumulate_h_b(res, use_depth: bool, use_descriptor: bool):
     return H, b
 
 
-def _cost_and_count(res, threshold_factor, use_depth: bool, use_descriptor: bool):
+def _cost_and_count(res, threshold_factor, use_depth: bool,
+                    use_descriptor: bool, use_gradmag: bool = False):
     """Total robust cost + residual count (the duel heuristic inputs).
 
     Matches ComputeCostAndResidualCountFromImagesCUDA semantics:
@@ -327,6 +361,15 @@ def _cost_and_count(res, threshold_factor, use_depth: bool, use_descriptor: bool
         )
         if not use_depth:
             count += jnp.sum(valid.astype(jnp.int32))
+    if use_gradmag:
+        cost += jnp.sum(jnp.where(
+            valid,
+            robust.weighted_descriptor_residual(
+                res["gradmag_residual"], threshold_factor),
+            0.0,
+        ))
+        if not use_depth:
+            count += jnp.sum(valid.astype(jnp.int32))
     return cost, count
 
 
@@ -340,27 +383,32 @@ def accumulate_pose_coeffs(
     baseline_fx: float,
     use_depth: bool = True,
     use_descriptor: bool = True,
+    use_gradmag: bool = False,
 ):
     """One GN accumulation: returns (H[6,6], b[6], count). Public for tests."""
     frame_T_base = se3.inverse(se3.SE3(base_T_frame_q, base_T_frame_t))
     res = _image_residuals(
         cam, base, tracked, frame_T_base.q, frame_T_base.t,
         threshold_factor, baseline_fx, use_depth, use_descriptor, True,
+        use_gradmag,
     )
-    H, b = _accumulate_h_b(res, use_depth, use_descriptor)
+    H, b = _accumulate_h_b(res, use_depth, use_descriptor, use_gradmag)
     return H, b, jnp.sum(res["valid"].astype(jnp.int32))
 
 
 def compute_cost_and_count(
     cam, base, tracked, base_T_frame_q, base_T_frame_t,
     threshold_factor, baseline_fx, use_depth=True, use_descriptor=True,
+    use_gradmag=False,
 ):
     frame_T_base = se3.inverse(se3.SE3(base_T_frame_q, base_T_frame_t))
     res = _image_residuals(
         cam, base, tracked, frame_T_base.q, frame_T_base.t,
         threshold_factor, baseline_fx, use_depth, use_descriptor, False,
+        use_gradmag,
     )
-    return _cost_and_count(res, threshold_factor, use_depth, use_descriptor)
+    return _cost_and_count(res, threshold_factor, use_depth, use_descriptor,
+                           use_gradmag)
 
 
 def _is_converged(x: jax.Array, scaling_factor: float) -> jax.Array:
@@ -374,7 +422,7 @@ def _is_converged(x: jax.Array, scaling_factor: float) -> jax.Array:
 
 def _gn_level(
     cam, base, tracked, q, t, scaling_factor, damping, baseline_fx,
-    use_depth, use_descriptor, max_iterations,
+    use_depth, use_descriptor, max_iterations, use_gradmag=False,
 ):
     """Gauss-Newton at one pyramid level, fully on-device with early exit.
     Returns (q, t, converged)."""
@@ -388,7 +436,7 @@ def _gn_level(
         q, t, it, _ = carry
         H, b, count = accumulate_pose_coeffs(
             cam, base, tracked, q, t, threshold_factor, baseline_fx,
-            use_depth, use_descriptor,
+            use_depth, use_descriptor, use_gradmag,
         )
         # Guard the solve: with no residuals, keep the pose.
         ok = count > 6
@@ -406,14 +454,14 @@ def _gn_level(
 
 
 def _duel(cam, base, tracked, qa, ta, qb, tb, threshold_factor, baseline_fx,
-          use_depth, use_descriptor):
+          use_depth, use_descriptor, use_gradmag=False):
     """Pick the better of two pose hypotheses (pairwise_frame_tracking.cc:479-500)."""
     cost_a, count_a = compute_cost_and_count(
         cam, base, tracked, qa, ta, threshold_factor, baseline_fx,
-        use_depth, use_descriptor)
+        use_depth, use_descriptor, use_gradmag)
     cost_b, count_b = compute_cost_and_count(
         cam, base, tracked, qb, tb, threshold_factor, baseline_fx,
-        use_depth, use_descriptor)
+        use_depth, use_descriptor, use_gradmag)
     pick_a = jnp.where(
         count_a > 2 * count_b,
         True,
@@ -427,7 +475,7 @@ def _duel(cam, base, tracked, qa, ta, qb, tb, threshold_factor, baseline_fx,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "baseline_fx", "use_depth", "use_descriptor",
+        "baseline_fx", "use_depth", "use_descriptor", "use_gradmag",
         "test_two_initial_estimates", "max_iterations", "use_pyramid_level_0",
     ),
 )
@@ -442,6 +490,7 @@ def track_frame_pairwise(
     baseline_fx: float = 40.0,
     use_depth: bool = True,
     use_descriptor: bool = True,
+    use_gradmag: bool = False,
     test_two_initial_estimates: bool = False,
     max_iterations: int = 30,
     use_pyramid_level_0: bool = True,
@@ -474,22 +523,25 @@ def track_frame_pairwise(
                 q, t = _duel(
                     cam, base, tracked, init1_q, init1_t, init2_q, init2_t,
                     scaling_factor, baseline_fx, use_depth, use_descriptor,
+                    use_gradmag,
                 )
             chosen_q, chosen_t = q, t
         else:
             q, t = _duel(
                 cam, base, tracked, q, t, chosen_q, chosen_t,
                 scaling_factor, baseline_fx, use_depth, use_descriptor,
+                use_gradmag,
             )
 
         q, t, converged = _gn_level(
             cam, base, tracked, q, t, scaling_factor, damping, baseline_fx,
-            use_depth, use_descriptor, max_iterations,
+            use_depth, use_descriptor, max_iterations, use_gradmag,
         )
 
     cost, count = compute_cost_and_count(
         cams[finest], base_pyramid[finest], tracked_pyramid[finest], q, t,
         float(2 ** finest), baseline_fx, use_depth, use_descriptor,
+        use_gradmag,
     )
     return TrackingResult(q=q, t=t, cost=cost, residual_count=count,
                           converged=converged)

@@ -87,3 +87,30 @@ def test_tracking_empty_frames_returns_initial():
     res = track_frame_pairwise(cams, p, p, init.q, init.t, init.q, init.t)
     np.testing.assert_allclose(np.asarray(res.t), np.asarray(init.t))
     assert int(res.residual_count) == 0
+
+
+def test_tracking_gradmag_mode():
+    """The reference's third photometric mode: gradient-magnitude planes
+    instead of raw intensity (cost_function.cuh:322-352)."""
+    from badslam_tpu.ops.preprocess import compute_sobel_gradient_magnitude
+
+    rng = np.random.default_rng(41)
+    gt = synthetic.pose(tx=0.012, ty=-0.006, rz=0.004)
+    cams, p0, p1 = setup_pair(rng, gt, num_planes=4)
+
+    def to_gradmag(pyr):
+        return tuple(
+            lvl._replace(intensity=compute_sobel_gradient_magnitude(
+                lvl.intensity)) for lvl in pyr)
+
+    g0, g1 = to_gradmag(p0), to_gradmag(p1)
+    res = track_frame_pairwise(
+        cams, g0, g1,
+        se3.identity().q, se3.identity().t,
+        se3.identity().q, se3.identity().t,
+        use_depth=True, use_descriptor=False, use_gradmag=True,
+    )
+    err = float(jnp.linalg.norm(se3.log(
+        se3.mul(se3.inverse(se3.SE3(res.q, res.t)), gt)
+    )))
+    assert err < 2e-3, err
