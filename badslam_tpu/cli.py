@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--final_ba_window_size", type=int, default=16)
     p.add_argument("--final_ba_window_stride", type=int, default=8)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--profile", default=None,
+                   help="capture a JAX profiler trace of the run into this "
+                        "directory (view with xprof/tensorboard)")
     return p
 
 
@@ -100,6 +103,13 @@ def main(argv=None) -> int:
     from badslam_tpu.io.dataset import load_tum_dataset
     from badslam_tpu.utils.timing import Timing
 
+    profiler_cm = None
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        profiler_cm = True
+
     video = load_tum_dataset(args.dataset, args.trajectory_filename)
     if args.load_state:
         from badslam_tpu.io.state import load_state
@@ -115,6 +125,12 @@ def main(argv=None) -> int:
         slam.final_bundle_adjustment(
             args.final_ba_window_size, args.final_ba_window_stride
         )
+
+    if profiler_cm:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}")
 
     if args.export_poses:
         slam.export_trajectory(args.export_poses)
