@@ -289,6 +289,27 @@ def updated_depth_camera(cam: PinholeCamera, x1) -> PinholeCamera:
     )
 
 
+def _color_to_inverse_param_T(cam: PinholeCamera) -> np.ndarray:
+    """Constant chain-rule matrix T = d[fx,fy,cx,cy]/d[fx_inv,..,cy_inv,a].
+
+    With fx = 1/fx_inv and cx = -(fx*cx_inv) + 0.5 (see updated_depth_camera),
+    the photometric 4x4 system (parametrized by fx..cy) folds EXACTLY into
+    the depth 5x5 system (parametrized by the inverse intrinsics) as
+    A += T^T H T, b += T^T b_c — the parametrization change is linear and
+    identical for every observation.
+    """
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx_inv, cy_inv = float(cam.cx_inv), float(cam.cy_inv)
+    T = np.zeros((4, 5), np.float64)
+    T[0, 0] = -fx * fx
+    T[1, 1] = -fy * fy
+    T[2, 0] = cx_inv * fx * fx
+    T[2, 2] = -fx
+    T[3, 1] = cy_inv * fy * fy
+    T[3, 3] = -fy
+    return T
+
+
 def solve_color_intrinsics(color_sys) -> np.ndarray:
     H, b = color_sys
     H = np.asarray(H, np.float64)
@@ -333,6 +354,19 @@ def optimize_intrinsics(
     new_cam = cam
     if optimize_depth:
         A_r, b1_r, DiB, Dib2, good, obs = schur_reduce(depth_sys)
+        if optimize_color:
+            # Joint solve: fold the photometric 4x4 system into the Schur-
+            # reduced 5x5 depth system through the exact (linear) change of
+            # parametrization. One update, no double-correction of the
+            # shared camera. The reference keeps two separate cameras and
+            # solves two systems (kernel_opt_intrinsics.cc:256-280); this
+            # rebuild resamples color into depth geometry at preprocessing,
+            # so both residual families constrain the SAME intrinsics.
+            T = _color_to_inverse_param_T(cam)
+            Hc = np.asarray(color_sys[0], np.float64)
+            bc = np.asarray(color_sys[1], np.float64)
+            A_r = np.asarray(A_r, np.float64) + T.T @ Hc @ T
+            b1_r = np.asarray(b1_r, np.float64) + T.T @ bc
         x1 = solve_depth_intrinsics(A_r, b1_r, params.a)
         if np.all(np.isfinite(x1)):
             params = backsubstitute_cfactor(params, x1, DiB, Dib2, good, obs)

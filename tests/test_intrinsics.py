@@ -102,6 +102,40 @@ def test_depth_deformation_recovery():
     assert err1 < 0.25 * err0, (err0, err1)
 
 
+def test_joint_depth_and_color_intrinsics_recovery():
+    """Perturb the camera and enable BOTH depth and color optimization (the
+    default configuration). Regression test for the round-1 bug where the
+    color system was accumulated and silently discarded when optimize_depth
+    was also set; now the photometric system folds into the joint 5x5 solve
+    (reference runs both solves per call, kernel_opt_intrinsics.cc:256-280)."""
+    rng = np.random.default_rng(17)
+    cam, ba, gt, frames = build_ba(rng)
+    ks = ba.keyframes
+    kstack = ks.stack()
+    raw = ks.stack_raw()
+    params = ba.depth_params
+
+    bad_cam = cam.with_intrinsics(
+        fx=cam.fx * 1.004, fy=cam.fy, cx=cam.cx + 0.5, cy=cam.cy - 0.5
+    )
+
+    def err(c):
+        return (abs(c.fx - cam.fx) / cam.fx * 100.0
+                + abs(c.cx - cam.cx) + abs(c.cy - cam.cy))
+
+    err0 = err(bad_cam)
+    out_cam = bad_cam
+    for _ in range(6):
+        out_cam, params = optimize_intrinsics(
+            ba.surfels, out_cam, kstack, raw, params,
+            baseline_fx=40.0, cell_size=CELL,
+            optimize_depth=True, optimize_color=True,
+        )
+    err1 = err(out_cam)
+    assert np.isfinite(err1)
+    assert err1 < 0.5 * err0, (err0, err1)
+
+
 def test_color_intrinsics_recovery():
     """Perturb the sampling camera; photometric 4x4 GN must pull cx/cy back."""
     rng = np.random.default_rng(13)
