@@ -61,7 +61,14 @@ class BadSlam:
         # Relative pose history vs the base keyframe (bad_slam.cc:553-563).
         self.base_kf_tr_frame: List[se3.SE3] = []
 
-        self.frame_poses: List[Optional[se3.SE3]] = [None] * len(video)
+        # Trajectory: device-resident stacked pose buffers (static [F] shape
+        # known from the dataset) + a host validity mask. Device-resident so
+        # post-BA trajectory deformation runs as one jitted program with no
+        # device->host reads (PERF_NOTES.md).
+        n_frames = max(1, len(video))
+        self.traj_q = jnp.zeros((n_frames, 4), jnp.float32).at[:, 0].set(1.0)
+        self.traj_t = jnp.zeros((n_frames, 3), jnp.float32)
+        self.has_pose = np.zeros(n_frames, bool)
         self.last_frame_index = -1
         self.queued_ba_keyframes: List[int] = []
         self.final_ba_done = False
@@ -74,10 +81,65 @@ class BadSlam:
         self.queued_ba_iterations = 0
 
         self.loop_detector = None
+        self._loop_thread = None
+        self._loop_pending_seq = -1
         if config.enable_loop_detection:
             from badslam_tpu.loop import LoopDetector
 
-            self.loop_detector = LoopDetector(cam=self.cam)
+            det_size = None
+            if (config.loop_detection_images_width > 0
+                    and config.loop_detection_images_height > 0):
+                det_size = (config.loop_detection_images_width,
+                            config.loop_detection_images_height)
+            self.loop_detector = LoopDetector(
+                cam=self.cam,
+                vocabulary_path=config.loop_detection_vocabulary_path,
+                images_size=det_size,
+            )
+            if config.parallel_loop_detection:
+                from badslam_tpu.loop.thread import LoopDetectionThread
+
+                self._loop_thread = LoopDetectionThread(self.loop_detector)
+
+    # ------------------------------------------------------------------
+    # Trajectory accessors (device buffers; list view for export/state)
+    # ------------------------------------------------------------------
+
+    def _set_frame_pose(self, frame_index: int, pose: se3.SE3) -> None:
+        self.traj_q = self.traj_q.at[frame_index].set(jnp.asarray(pose.q))
+        self.traj_t = self.traj_t.at[frame_index].set(jnp.asarray(pose.t))
+        self.has_pose[frame_index] = True
+
+    def frame_pose(self, frame_index: int) -> Optional[se3.SE3]:
+        if not self.has_pose[frame_index]:
+            return None
+        return se3.SE3(self.traj_q[frame_index], self.traj_t[frame_index])
+
+    @property
+    def frame_poses(self) -> List[Optional[se3.SE3]]:
+        """List view of the trajectory (device slices — not a host read)."""
+        return [
+            se3.SE3(self.traj_q[i], self.traj_t[i]) if self.has_pose[i]
+            else None
+            for i in range(self.traj_q.shape[0])
+        ]
+
+    @frame_poses.setter
+    def frame_poses(self, poses) -> None:
+        n = max(1, len(poses))
+        q = np.zeros((n, 4), np.float32)
+        q[:, 0] = 1.0
+        t = np.zeros((n, 3), np.float32)
+        has = np.zeros(n, bool)
+        for i, p in enumerate(poses):
+            if p is None:
+                continue
+            q[i] = np.asarray(p.q, np.float32)
+            t[i] = np.asarray(p.t, np.float32)
+            has[i] = True
+        self.traj_q = jnp.array(q)
+        self.traj_t = jnp.array(t)
+        self.has_pose = has
 
     # ------------------------------------------------------------------
 
@@ -168,13 +230,14 @@ class BadSlam:
                 base_T_frame = self.base_kf_tr_frame[-1]
             global_T_frame = se3.mul(self.base_kf_global_T_frame, base_T_frame)
 
-        self.frame_poses[frame_index] = global_T_frame
+        self._set_frame_pose(frame_index, global_T_frame)
         self.video.set_pose(frame_index, global_T_frame)
         self.base_kf_tr_frame.append(base_T_frame)
         self.last_frame_index = frame_index
 
         # Drain queued BA iterations between keyframes (parallel BA mode).
         if self.queued_ba_iterations > 0:
+            old_kq, old_kt = self._remember_keyframe_poses()
             n = min(self.queued_ba_iterations, 2)
             self.direct_ba.bundle_adjustment(
                 max_iterations=n,
@@ -182,7 +245,7 @@ class BadSlam:
                 increase_ba_iteration_count=False,
             )
             self.queued_ba_iterations -= n
-            self._apply_ba_pose_updates()
+            self._apply_ba_pose_updates(old_kq, old_kt)
 
         # Keyframe policy: every keyframe_interval-th processed frame
         # (bad_slam.cc:202-204), plus always the first.
@@ -190,9 +253,24 @@ class BadSlam:
         if is_first or frames_processed % c.keyframe_interval == 0:
             # Memory-pressure guard: merge redundant keyframes when the
             # store approaches its configured bound (bad_slam.cc:962-972).
+            # Freed slots are recycled by add_keyframe, so device capacity
+            # stays bounded by max_keyframe_count.
             ks = self.direct_ba.keyframes
-            if ks.count >= c.max_keyframe_count - 2:
-                ks.merge_redundant_keyframes(4)
+            if ks.live_count >= c.max_keyframe_count - 2:
+                freed = ks.merge_redundant_keyframes(4)
+                for slot in freed:
+                    if self._loop_thread is not None:
+                        self._loop_thread.remove(slot)
+                    elif self.loop_detector is not None:
+                        self.loop_detector.remove_keyframe(slot)
+                if not freed and ks.live_count >= c.max_keyframe_count:
+                    from badslam_tpu.utils.logging import warning
+
+                    warning(
+                        "keyframe budget exceeded (%d live >= %d) and no "
+                        "keyframe was mergeable", ks.live_count,
+                        c.max_keyframe_count,
+                    )
 
             self.create_keyframe(frame_index, frame, pyramid, global_T_frame)
 
@@ -209,6 +287,7 @@ class BadSlam:
                          % c.intrinsics_optimization_interval == 0)
                 )
                 self.bundle_adjustment_counter += 1
+                old_kq, old_kt = self._remember_keyframe_poses()
                 if c.parallel_ba:
                     # Run a couple of iterations now, queue the rest to be
                     # drained between frames.
@@ -233,7 +312,7 @@ class BadSlam:
                             optimize_color_intrinsics=(
                                 opt_intr and c.use_photometric_residuals),
                         )
-                self._apply_ba_pose_updates()
+                self._apply_ba_pose_updates(old_kq, old_kt)
                 if self.direct_ba.intrinsics_updated:
                     self.cam = self.direct_ba.cam
                     self.cams_pyramid = tuple(
@@ -241,7 +320,7 @@ class BadSlam:
                     )
                     self.direct_ba.intrinsics_updated = False
 
-        return self.frame_poses[frame_index]
+        return self.frame_pose(frame_index)
 
     def create_keyframe(self, frame_index, frame, pyramid, global_T_frame):
         """CreateKeyframe analog (bad_slam.cc:957-1101)."""
@@ -275,9 +354,19 @@ class BadSlam:
                 + 0.114 * rgb[..., 2]).astype(np.uint8)
         depth = self.video.depth_u16(frame_index).astype(np.float32) \
             * c.raw_to_float_depth
-        det_id = self.loop_detector.add_keyframe(gray, depth)
-        assert det_id == kf_id  # every keyframe is registered
 
+        if self._loop_thread is not None:
+            # Parallel mode (loop_detector.cc:793-832): consume results of
+            # every detection enqueued up to the PREVIOUS keyframe (a
+            # deterministic barrier — closures land one keyframe later than
+            # the synchronous path, independent of thread timing), then
+            # enqueue the current keyframe.
+            self._drain_loop_detections()
+            self._loop_pending_seq = self._loop_thread.enqueue(
+                kf_id, gray, depth)
+            return
+
+        self.loop_detector.add_keyframe(gray, depth, kf_id=kf_id)
         candidate = self.loop_detector.detect_candidate(kf_id)
         if candidate is None:
             return
@@ -286,6 +375,16 @@ class BadSlam:
             return
         cur_T_matched_init, _ = init
         self._attempt_loop_closure(kf_id, candidate, cur_T_matched_init)
+
+    def _drain_loop_detections(self) -> None:
+        """Wait for enqueued detections and apply any verified closures."""
+        if self._loop_thread is None or self._loop_pending_seq < 0:
+            return
+        self._loop_thread.wait_through(self._loop_pending_seq)
+        for r in self._loop_thread.drain_results():
+            if r.candidate is not None and r.cur_T_matched is not None:
+                self._attempt_loop_closure(
+                    r.kf_id, r.candidate, r.cur_T_matched)
 
     def _keyframe_pyramid(self, kf_id: int):
         from badslam_tpu.ops.pyramid import build_pyramid
@@ -308,21 +407,28 @@ class BadSlam:
         det = self.loop_detector
 
         # Batched read of all keyframe poses (loop-closure path only).
-        q_np = np.asarray(ks.q)
-        t_np = np.asarray(ks.t)
+        q_np = np.array(ks.q)
+        t_np = np.array(ks.t)
         kf_pose = lambda i: s3.SE3(q_np[i].astype(float),
                                    t_np[i].astype(float))
-        kf_poses = [kf_pose(i) for i in range(ks.count)]
 
-        # Direct refinement vs matched and its previous/next keyframes
-        # (loop_detector.cc:436-548).
-        neighbors = [i for i in (matched_id - 1, matched_id, matched_id + 1)
-                     if 0 <= i < ks.count and i != kf_id]
+        # Live keyframes in temporal order (slot order is not temporal once
+        # slots are recycled by keyframe merging).
+        order = ks.live_slots_in_time_order()
+        if kf_id not in order or matched_id not in order:
+            return
+        matched_pos = order.index(matched_id)
+
+        # Direct refinement vs matched and its temporally previous/next
+        # keyframes (loop_detector.cc:436-548).
+        neighbors = [order[j] for j in (matched_pos - 1, matched_pos,
+                                        matched_pos + 1)
+                     if 0 <= j < len(order) and order[j] != kf_id]
         cur_pyr = self._keyframe_pyramid(kf_id)
         cur_T_matched_refined = []
         for old in neighbors:
-            matched_T_old = s3.mul(s3.inverse(kf_poses[matched_id]),
-                                   kf_poses[old])
+            matched_T_old = s3.mul(s3.inverse(kf_pose(matched_id)),
+                                   kf_pose(old))
             init = s3.mul(cur_T_matched_init, matched_T_old)
             old_pyr = self._keyframe_pyramid(old)
             res = track_frame_pairwise(
@@ -338,7 +444,7 @@ class BadSlam:
                                np.asarray(res.t, float))
             cur_T_matched_refined.append(
                 s3.mul(cur_T_old, s3.inverse(
-                    s3.mul(s3.inverse(kf_poses[matched_id]), kf_poses[old])))
+                    s3.mul(s3.inverse(kf_pose(matched_id)), kf_pose(old))))
             )
 
         if len(cur_T_matched_refined) < 2:
@@ -349,66 +455,108 @@ class BadSlam:
 
         # Necessity test (loop_detector.cc:624-666).
         cur_T_global_estimate = s3.mul(
-            cur_T_matched, s3.inverse(kf_poses[matched_id]))
+            cur_T_matched, s3.inverse(kf_pose(matched_id)))
         if not det.closure_needed(kf_id, cur_T_global_estimate,
-                                  kf_poses[kf_id]):
+                                  kf_pose(kf_id)):
             return
 
-        # Pose-graph optimization + apply + trajectory deformation.
-        new_kf_poses = det.close_loop(
-            kf_id, matched_id, cur_T_matched, kf_poses)
-        old_kf_T_global = [s3.inverse(p) for p in kf_poses]
+        # Pose-graph optimization over the temporally-ordered live
+        # keyframes + apply + trajectory deformation.
+        ordered_poses = [kf_pose(s) for s in order]
+        new_ordered = det.close_loop(
+            order.index(kf_id), matched_pos, cur_T_matched, ordered_poses)
+        old_kf_T_global = [s3.inverse(p) for p in ordered_poses]
 
-        new_q = np.stack([np.asarray(p.q, np.float32) for p in new_kf_poses])
-        new_t = np.stack([np.asarray(p.t, np.float32) for p in new_kf_poses])
-        ks.q = ks.q.at[: ks.count].set(jnp.array(new_q))
-        ks.t = ks.t.at[: ks.count].set(jnp.array(new_t))
+        for pos, slot in enumerate(order):
+            q_np[slot] = np.asarray(new_ordered[pos].q, np.float32)
+            t_np[slot] = np.asarray(new_ordered[pos].t, np.float32)
+        ks.q = jnp.array(q_np)
+        ks.t = jnp.array(t_np)
 
+        # Batched trajectory read (loop-closure path only), host deformation,
+        # then one batched writeback into the device trajectory buffers.
+        traj_q_np = np.array(self.traj_q)
+        traj_t_np = np.array(self.traj_t)
         host_frame_poses = [
-            None if p is None else s3.SE3(np.asarray(p.q, float),
-                                          np.asarray(p.t, float))
-            for p in self.frame_poses
+            s3.SE3(traj_q_np[i].astype(float), traj_t_np[i].astype(float))
+            if self.has_pose[i] else None
+            for i in range(traj_q_np.shape[0])
         ]
         deformed = extrapolate_and_interpolate_keyframe_pose_changes(
             host_frame_poses,
-            ks.frame_indices[: ks.count],
+            [ks.frame_indices[s] for s in order],
             old_kf_T_global,
-            new_kf_poses,
+            new_ordered,
         )
         for i, p in enumerate(deformed):
             if p is not None:
-                self.frame_poses[i] = se3.SE3(
-                    jnp.array(p.q, jnp.float32), jnp.array(p.t, jnp.float32))
-                self.video.set_pose(i, self.frame_poses[i])
+                traj_q_np[i] = np.asarray(p.q, np.float32)
+                traj_t_np[i] = np.asarray(p.t, np.float32)
+        self.traj_q = jnp.array(traj_q_np)
+        self.traj_t = jnp.array(traj_t_np)
         # Refresh the odometry anchor.
         self.base_kf_global_T_frame = ks.pose(self.base_kf_id)
         self.loop_closure_count += 1
 
-    def _apply_ba_pose_updates(self):
-        """After BA: refresh base-keyframe pose and deform the trajectory of
-        non-keyframe frames (bad_slam.cc:485-540)."""
+    def _remember_keyframe_poses(self) -> Tuple[jax.Array, jax.Array]:
+        """Snapshot keyframe poses before BA (RememberKeyframePoses analog,
+        trajectory_deformation.cc:33-58). Device arrays are immutable, so
+        this is just keeping references — zero cost, zero reads."""
         ks = self.direct_ba.keyframes
-        old_base = self.base_kf_global_T_frame
-        new_base = ks.pose(self.base_kf_id)
-        self.base_kf_global_T_frame = new_base
+        return ks.q, ks.t
 
-        # Trajectory deformation: propagate keyframe pose changes to
-        # in-between frames (trajectory_deformation.cc analog) — done lazily
-        # here by re-anchoring frames tracked against the base keyframe.
-        correction = se3.mul(new_base, se3.inverse(old_base))
-        kf_frames = set(ks.frame_indices[: ks.count])
-        for i in range(self.last_frame_index + 1):
-            pose = self.frame_poses[i]
-            if pose is None:
-                continue
-            if i in kf_frames:
-                # Exact keyframe pose from BA (device slice, no host read;
-                # invalid/merged keyframes keep their BA-era pose too).
-                kf_id = ks.frame_indices.index(i)
-                self.frame_poses[i] = ks.pose(kf_id)
-            else:
-                self.frame_poses[i] = se3.mul(correction, pose)
-            self.video.set_pose(i, self.frame_poses[i])
+    def _bracket_arrays(self):
+        """Host-computed (value-free) per-frame bracketing keyframe slots,
+        interpolation fractions, and own-keyframe slots, from the dataset
+        frame indices of the live keyframes."""
+        ks = self.direct_ba.keyframes
+        pairs = sorted(
+            (f, s) for s, f in enumerate(ks.frame_indices[: ks.count])
+            if f >= 0 and s not in ks.free_slot_set
+        )
+        n_frames = self.traj_q.shape[0]
+        kf_frames = np.array([p[0] for p in pairs], np.int64)
+        kf_slots = np.array([p[1] for p in pairs], np.int32)
+        nk = len(pairs)
+
+        fi = np.arange(n_frames, dtype=np.int64)
+        j = np.searchsorted(kf_frames, fi, side="right")
+        prev_i = np.clip(j - 1, 0, nk - 1)
+        next_i = np.clip(j, 0, nk - 1)
+        interior = (j > 0) & (j < nk)
+        # Off both ends: extrapolate via the nearest keyframe (alpha 0 with
+        # prev==next). Interior: fraction between the bracketing keyframes.
+        denom = np.maximum(kf_frames[next_i] - kf_frames[prev_i], 1)
+        alpha = np.where(interior, (fi - kf_frames[prev_i]) / denom, 0.0)
+        prev_slot = kf_slots[np.where(interior, prev_i, np.where(j == 0,
+                                                                 0, nk - 1))]
+        next_slot = kf_slots[np.where(interior, next_i, np.where(j == 0,
+                                                                 0, nk - 1))]
+        kf_slot = np.full(n_frames, -1, np.int32)
+        in_range = kf_frames < n_frames
+        kf_slot[kf_frames[in_range]] = kf_slots[in_range]
+        return (
+            jnp.array(prev_slot), jnp.array(next_slot),
+            jnp.array(alpha, jnp.float32), jnp.array(kf_slot),
+        )
+
+    def _apply_ba_pose_updates(self, old_kq, old_kt):
+        """After BA: refresh the base-keyframe pose and deform the full
+        trajectory — per-frame corrections interpolated between bracketing
+        keyframes, exactly as the reference does after EVERY BA run
+        (bad_slam.cc:529-534 -> trajectory_deformation.cc:61-130). One
+        jitted program over the device trajectory buffers; no host reads."""
+        from badslam_tpu.loop.trajectory import deform_trajectory_device
+
+        ks = self.direct_ba.keyframes
+        if ks.count == 0:
+            return
+        prev_slot, next_slot, alpha, kf_slot = self._bracket_arrays()
+        self.traj_q, self.traj_t = deform_trajectory_device(
+            self.traj_q, self.traj_t, old_kq, old_kt, ks.q, ks.t,
+            prev_slot, next_slot, alpha, kf_slot,
+        )
+        self.base_kf_global_T_frame = ks.pose(self.base_kf_id)
 
     # ------------------------------------------------------------------
 
@@ -445,6 +593,8 @@ class BadSlam:
                 if dt < budget:
                     time.sleep(budget - dt)
         preload.stop()
+        # Apply any loop closures still in flight on the detection thread.
+        self._drain_loop_detections()
 
     def final_bundle_adjustment(
         self, window_size: int = 16, window_stride: int = 8
@@ -455,11 +605,12 @@ class BadSlam:
         kf_count = self.direct_ba.keyframes.count
         if kf_count == 0:
             return
+        old_kq, old_kt = self._remember_keyframe_poses()
         if self.config.use_pcg:
             from badslam_tpu.ba.pcg import pcg_bundle_adjustment
 
             pcg_bundle_adjustment(self.direct_ba, max_iterations=10)
-            self._apply_ba_pose_updates()
+            self._apply_ba_pose_updates(old_kq, old_kt)
             self.final_ba_done = True
             return
         lo = 0
@@ -476,7 +627,7 @@ class BadSlam:
             max_iterations=10,
             active_keyframe_window=(0, kf_count - 1),
         )
-        self._apply_ba_pose_updates()
+        self._apply_ba_pose_updates(old_kq, old_kt)
         self.final_ba_done = True
 
     def export_trajectory(self, path: str) -> None:

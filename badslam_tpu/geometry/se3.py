@@ -76,6 +76,21 @@ def quat_normalize(q: jax.Array) -> jax.Array:
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 
+def slerp(qa: jax.Array, qb: jax.Array, f) -> jax.Array:
+    """Spherical interpolation between unit quaternions (branch-free device
+    analog of se3_np.slerp; Eigen Quaternion::slerp semantics as used by
+    trajectory_deformation.cc:109-118). `f` broadcasts against [..., 4]."""
+    d = jnp.sum(qa * qb, axis=-1, keepdims=True)
+    qb = jnp.where(d < 0, -qb, qb)
+    d = jnp.abs(d)
+    theta = jnp.arccos(jnp.clip(d, -1.0, 1.0))
+    close = d > 0.9995
+    safe_sin = jnp.where(close, 1.0, jnp.sin(theta))
+    wa = jnp.where(close, 1.0 - f, jnp.sin((1.0 - f) * theta) / safe_sin)
+    wb = jnp.where(close, f, jnp.sin(f * theta) / safe_sin)
+    return quat_normalize(wa * qa + wb * qb)
+
+
 def quat_to_matrix(q: jax.Array) -> jax.Array:
     """[..., 4] -> [..., 3, 3] rotation matrix."""
     w, x, y, z = jnp.moveaxis(q, -1, 0)

@@ -35,16 +35,10 @@ def save_state(slam, path: str) -> None:
     m = slam.direct_ba.surfels
     cam = slam.cam
 
-    poses_q = np.stack([
-        np.asarray(p.q, np.float32) if p is not None
-        else np.full(4, np.nan, np.float32)
-        for p in slam.frame_poses
-    ]) if slam.frame_poses else np.zeros((0, 4), np.float32)
-    poses_t = np.stack([
-        np.asarray(p.t, np.float32) if p is not None
-        else np.full(3, np.nan, np.float32)
-        for p in slam.frame_poses
-    ]) if slam.frame_poses else np.zeros((0, 3), np.float32)
+    # Trajectory: one batched device read of the stacked pose buffers.
+    poses_q = np.asarray(slam.traj_q, np.float32)
+    poses_t = np.asarray(slam.traj_t, np.float32)
+    has_pose = np.asarray(slam.has_pose, bool)
 
     hist_q = np.stack([np.asarray(p.q, np.float32)
                        for p in slam.base_kf_tr_frame]) \
@@ -59,7 +53,7 @@ def save_state(slam, path: str) -> None:
         cam=np.array([float(cam.fx), float(cam.fy), float(cam.cx),
                       float(cam.cy), cam.width, cam.height], np.float64),
         # frontend
-        frame_poses_q=poses_q, frame_poses_t=poses_t,
+        frame_poses_q=poses_q, frame_poses_t=poses_t, frame_has_pose=has_pose,
         base_kf_id=np.int64(-1 if slam.base_kf_id is None
                             else slam.base_kf_id),
         base_kf_hist_q=hist_q, base_kf_hist_t=hist_t,
@@ -73,6 +67,7 @@ def save_state(slam, path: str) -> None:
         # keyframes
         kf_count=np.int64(ks.count),
         kf_frame_indices=np.array(ks.frame_indices, np.int64),
+        kf_free_slots=np.array(ks.free_slots, np.int64),
     )
     if ks.count > 0:
         for name in ("depth", "raw_depth", "nx", "ny", "radius2", "intensity",
@@ -112,15 +107,15 @@ def load_state(path: str, video) -> "BadSlam":
     slam.cam = cam
     slam.direct_ba.cam = cam
 
-    # frontend state
+    # frontend state: trajectory buffers, padded/trimmed to the video length
+    # (BadSlam.__init__ sized them from `video`).
     pq, pt = z["frame_poses_q"], z["frame_poses_t"]
-    slam.frame_poses = [
-        None if np.isnan(pq[i, 0]) else se3.SE3(jnp.array(pq[i]),
-                                                jnp.array(pt[i]))
-        for i in range(pq.shape[0])
-    ]
-    while len(slam.frame_poses) < len(video):
-        slam.frame_poses.append(None)
+    has = z["frame_has_pose"]
+    n = slam.traj_q.shape[0]
+    m = min(n, pq.shape[0])
+    slam.traj_q = slam.traj_q.at[:m].set(jnp.array(pq[:m]))
+    slam.traj_t = slam.traj_t.at[:m].set(jnp.array(pt[:m]))
+    slam.has_pose[:m] = has[:m]
     slam.last_frame_index = int(z["last_frame_index"])
     slam.bundle_adjustment_counter = int(z["ba_counter"])
     slam.base_kf_tr_frame = [
@@ -141,6 +136,8 @@ def load_state(path: str, video) -> "BadSlam":
         ks = ba.keyframes
         ks.count = kf_count
         ks.frame_indices = [int(v) for v in z["kf_frame_indices"]]
+        ks.free_slots = ([int(v) for v in z["kf_free_slots"]]
+                         if "kf_free_slots" in z.files else [])
         ks.capacity = int(z["kf_depth"].shape[0])
         for name in ("depth", "raw_depth", "nx", "ny", "radius2", "intensity",
                      "q", "t", "valid", "activation", "covis", "min_depth",
@@ -171,14 +168,14 @@ def load_state(path: str, video) -> "BadSlam":
         # reference re-derives keyframe images from the dataset; features
         # are cheap to recompute from the stored host frames).
         if slam.loop_detector is not None:
-            for i in range(kf_count):
-                fi = ba.keyframes.frame_indices[i]
+            for slot in ba.keyframes.live_slots_in_time_order():
+                fi = ba.keyframes.frame_indices[slot]
                 rgb = video.color_u8(fi)
                 gray = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
                         + 0.114 * rgb[..., 2]).astype(np.uint8)
                 depth = video.depth_u16(fi).astype(np.float32) \
                     * config.raw_to_float_depth
-                slam.loop_detector.add_keyframe(gray, depth)
+                slam.loop_detector.add_keyframe(gray, depth, kf_id=slot)
                 video.clear_frame(fi)
     return slam
 

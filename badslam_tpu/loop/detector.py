@@ -29,14 +29,13 @@ read path outside end-of-run exports (PERF_NOTES.md).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from badslam_tpu.geometry import se3_np as s3
 from badslam_tpu.loop.features import (
     KeyframeFeatures,
-    bow_score,
     extract_features,
     match_descriptors,
 )
@@ -46,6 +45,11 @@ from badslam_tpu.loop.pose_graph import (
     optimize_pose_graph,
 )
 from badslam_tpu.loop.ransac import ransac_point_cloud_alignment
+from badslam_tpu.loop.vocabulary import (
+    BinaryVocabulary,
+    BowDatabase,
+    l1_score,
+)
 
 MAX_ANGLE_DIFFERENCE = np.pi / 180.0 * 10.0   # loop_detector.cc:577
 MAX_EUCLIDEAN_DISTANCE = 0.02                 # loop_detector.cc:578
@@ -81,48 +85,138 @@ class LoopDetector:
 
     cam: object                       # host PinholeCamera
     recent_window: int = 10           # exclude this many recent keyframes
-    min_score: float = 0.14           # shortlist threshold (bow cosine)
+    min_score: float = 0.3            # DLoopDetector alpha (vs eta norm)
     min_matches: int = 25
     temporal_consistency: int = 1     # consecutive supporting detections
     max_features: int = 500
+    vocabulary_path: str = ""         # pre-trained vocabulary (.npz); empty
+                                      # -> train on the fly from the sequence
+    train_after: int = 8              # keyframes before on-the-fly training
+    images_size: Optional[Tuple[int, int]] = None  # (w, h) detection resize
 
-    features: List[KeyframeFeatures] = field(default_factory=list)
+    # Keyframe features keyed by SLOT id (slots are recycled after keyframe
+    # merging, so ids are not temporal); `_order` tracks registration
+    # (temporal) order.
+    features: Dict[int, KeyframeFeatures] = field(default_factory=dict)
+    _order: List[int] = field(default_factory=list)
     _consistent_streak: int = 0
     _last_candidate: int = -1
+    _vocab: Optional[BinaryVocabulary] = None
+    _db: Optional[BowDatabase] = None
 
-    def add_keyframe(self, gray_u8: np.ndarray, depth: np.ndarray) -> int:
-        """Register a keyframe's features; returns its detector id."""
-        self.features.append(
-            extract_features(gray_u8, depth, self.cam, self.max_features)
+    def __post_init__(self):
+        if self.vocabulary_path:
+            self._vocab = BinaryVocabulary.load(self.vocabulary_path)
+            self._db = BowDatabase(self._vocab)
+        if self.images_size is not None:
+            w, h = self.images_size
+            if w == self.cam.width and h == self.cam.height:
+                self.images_size = None
+
+    def _detection_inputs(self, gray_u8, depth):
+        """Optionally resize to loop_detection_images_width/height
+        (reference: LoopDetector ctor scales images + intrinsics)."""
+        if self.images_size is None:
+            return gray_u8, depth, self.cam
+        import cv2
+
+        w, h = self.images_size
+        gray = cv2.resize(gray_u8, (w, h), interpolation=cv2.INTER_AREA)
+        dep = cv2.resize(depth, (w, h), interpolation=cv2.INTER_NEAREST)
+        return gray, dep, self.cam.scaled(w / self.cam.width)
+
+    def _train_vocabulary(self) -> None:
+        """On-the-fly vocabulary: train from the keyframes seen so far,
+        then (re)index all of them."""
+        desc = np.concatenate(
+            [self.features[i].descriptors for i in self._order
+             if len(self.features[i].descriptors)] or
+            [np.zeros((0, 32), np.uint8)]
         )
-        return len(self.features) - 1
+        if len(desc) < 64:
+            return
+        self._vocab = BinaryVocabulary.train(desc, k=32, iters=4)
+        self._db = BowDatabase(self._vocab)
+        for i in self._order:
+            self._db.add(i, self.features[i].descriptors)
+
+    def add_keyframe(
+        self, gray_u8: np.ndarray, depth: np.ndarray, kf_id: int = None,
+    ) -> int:
+        """Register a keyframe's features under slot `kf_id` (defaults to
+        the next sequential id); returns the id."""
+        if kf_id is None:
+            kf_id = max(self.features, default=-1) + 1
+        if kf_id in self.features:  # recycled slot: drop the old entry
+            self._order.remove(kf_id)
+        gray_u8, depth, det_cam = self._detection_inputs(gray_u8, depth)
+        self.features[kf_id] = extract_features(
+            gray_u8, depth, det_cam, self.max_features
+        )
+        self._order.append(kf_id)
+        if self._db is not None:
+            self._db.add(kf_id, self.features[kf_id].descriptors)
+        elif len(self._order) >= self.train_after:
+            self._train_vocabulary()
+        return kf_id
+
+    def remove_keyframe(self, kf_id: int) -> None:
+        """Forget a merged/deleted keyframe's features."""
+        if kf_id in self.features:
+            del self.features[kf_id]
+            self._order.remove(kf_id)
+        if self._db is not None:
+            self._db.remove(kf_id)
+        if self._last_candidate == kf_id:
+            self._last_candidate = -1
+            self._consistent_streak = 0
+
+    def _temporal_pos(self, kf_id: int) -> int:
+        return self._order.index(kf_id)
 
     # ------------------------------------------------------------------
 
     def detect_candidate(self, kf_id: int) -> Optional[int]:
-        """BoW shortlist + temporal consistency; returns a matched keyframe
-        id or None (DLoopDetector analog)."""
-        cur = self.features[kf_id]
-        last_eligible = kf_id - self.recent_window
-        if last_eligible < 1 or len(cur.descriptors) == 0:
+        """Inverted-index BoW query + temporal consistency; returns a
+        matched keyframe id or None (DBoW2 query + DLoopDetector gates).
+        Recency is measured in registration order, not slot id."""
+        if self._db is None:
+            # Detection requested before the training threshold: train now
+            # from whatever keyframes exist.
+            self._train_vocabulary()
+        if self._db is None or kf_id not in self._db.vectors:
+            return None
+        cur_vec = self._db.vectors[kf_id]
+        pos = self._temporal_pos(kf_id)
+        eligible = set(self._order[: pos - self.recent_window])
+        if not eligible or not cur_vec:
             return None
 
-        # Normalization score vs the previous keyframe (DBoW2-style eta).
-        norm = max(bow_score(cur.descriptors,
-                             self.features[kf_id - 1].descriptors), 1e-3)
+        # Normalization score vs the previous keyframe (DLoopDetector eta:
+        # expected score of a matching image pair).
+        norm = max(
+            l1_score(cur_vec,
+                     self._db.vectors.get(self._order[pos - 1], {})),
+            1e-3,
+        )
 
+        results = self._db.query(cur_vec)  # O(postings), already sorted
         best, best_score = -1, 0.0
-        for j in range(last_eligible):
-            sc = bow_score(cur.descriptors, self.features[j].descriptors)
-            if sc > best_score:
-                best, best_score = j, sc
+        for kf, sc in results:
+            if kf in eligible:
+                best, best_score = kf, sc
+                break
         if best < 0 or best_score < self.min_score * norm:
             self._consistent_streak = 0
             self._last_candidate = -1
             return None
 
-        # Temporal consistency: consecutive detections close to each other.
-        if self._last_candidate >= 0 and abs(best - self._last_candidate) <= 3:
+        # Temporal consistency: consecutive detections close to each other
+        # (in registration order).
+        if (self._last_candidate >= 0
+                and self._last_candidate in self.features
+                and abs(self._temporal_pos(best)
+                        - self._temporal_pos(self._last_candidate)) <= 3):
             self._consistent_streak += 1
         else:
             self._consistent_streak = 0
@@ -203,17 +297,19 @@ class LoopDetector:
 
     def close_loop(
         self,
-        cur_id: int,
-        matched_id: int,
+        cur_pos: int,          # position of the current KF in ordered_poses
+        matched_pos: int,      # position of the matched KF in ordered_poses
         cur_T_matched: s3.SE3,
-        keyframe_poses: List[s3.SE3],   # current global_T_frame estimates
+        ordered_poses: List[s3.SE3],  # live keyframes in TEMPORAL order
     ) -> List[s3.SE3]:
         """Pose-graph optimization with the odometry chain + the loop edge
-        (loop_detector.cc:670-681, pose_graph_optimizer.cc:69-131)."""
-        edges = odometry_chain_edges(keyframe_poses)
+        (loop_detector.cc:670-681, pose_graph_optimizer.cc:69-131). Operates
+        on the temporally-ordered live keyframe list; the caller maps
+        positions back to store slots."""
+        edges = odometry_chain_edges(ordered_poses)
         # Edge matched->current: Z = X_matched^-1 X_current = matched_T_cur.
         edges.append(
-            PoseGraphEdge(matched_id, cur_id, s3.inverse(cur_T_matched))
+            PoseGraphEdge(matched_pos, cur_pos, s3.inverse(cur_T_matched))
         )
-        return optimize_pose_graph(keyframe_poses, edges, fixed=0,
+        return optimize_pose_graph(ordered_poses, edges, fixed=0,
                                    iterations=20)

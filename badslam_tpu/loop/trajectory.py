@@ -13,9 +13,61 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from badslam_tpu.geometry import se3
 from badslam_tpu.geometry import se3_np as s3
+
+
+@jax.jit
+def deform_trajectory_device(
+    traj_q: jax.Array,   # [F, 4] global_T_frame rotations (identity if unset)
+    traj_t: jax.Array,   # [F, 3]
+    old_kq: jax.Array,   # [Kcap, 4] keyframe poses BEFORE BA
+    old_kt: jax.Array,   # [Kcap, 3]
+    new_kq: jax.Array,   # [Kcap, 4] keyframe poses AFTER BA
+    new_kt: jax.Array,   # [Kcap, 3]
+    prev_slot: jax.Array,  # [F] i32 bracketing keyframe slot (<= frame)
+    next_slot: jax.Array,  # [F] i32 bracketing keyframe slot (> frame);
+                           #     == prev_slot when extrapolating off the ends
+    alpha: jax.Array,      # [F] f32 interpolation fraction in [0, 1]
+    kf_slot: jax.Array,    # [F] i32 own keyframe slot, or -1
+):
+    """Device-side ExtrapolateAndInterpolateKeyframePoseChanges
+    (trajectory_deformation.cc:61-130): the per-frame correction implied by
+    each bracketing keyframe's BA pose change, interpolated as translation
+    lerp + quaternion slerp; keyframe frames snap exactly to their new pose.
+
+    Runs as ONE jitted program per BA run so the steady-state loop stays
+    free of device->host reads (PERF_NOTES.md); bracket indices and alphas
+    are host-computed from dataset frame indices (value-free).
+    """
+    P = se3.SE3(traj_q, traj_t)
+
+    def corrected(slots):
+        old_k = se3.SE3(old_kq[slots], old_kt[slots])
+        new_k = se3.SE3(new_kq[slots], new_kt[slots])
+        # new_global_T_frame via keyframe k's change: new_k * old_k^-1 * P
+        return se3.mul(se3.mul(new_k, se3.inverse(old_k)), P)
+
+    P_inv = se3.inverse(P)
+    corr_a = se3.mul(P_inv, corrected(prev_slot))
+    corr_b = se3.mul(P_inv, corrected(next_slot))
+    f = alpha[:, None]
+    corr = se3.SE3(
+        se3.slerp(corr_a.q, corr_b.q, f),
+        (1.0 - f) * corr_a.t + f * corr_b.t,
+    )
+    out = se3.mul(P, corr)
+
+    is_kf = (kf_slot >= 0)[:, None]
+    own = jnp.maximum(kf_slot, 0)
+    return (
+        jnp.where(is_kf, new_kq[own], out.q),
+        jnp.where(is_kf, new_kt[own], out.t),
+    )
 
 
 def extrapolate_and_interpolate_keyframe_pose_changes(

@@ -190,9 +190,31 @@ class KeyframeStore:
     last_active_iter: Optional[jax.Array] = None  # [cap] i32
     last_covis_iter: Optional[jax.Array] = None   # [cap] i32
 
-    # host metadata (value-free)
+    # host metadata (value-free). `count` is the high-water slot count;
+    # freed slots (from keyframe merging) are recycled before new slots are
+    # opened, so device capacity is bounded by the live keyframe count
+    # (MergeKeyframes actually frees GPU memory, direct_ba.cc:251-338).
     count: int = 0
     frame_indices: List[int] = field(default_factory=list)
+    free_slots: List[int] = field(default_factory=list)
+
+    @property
+    def free_slot_set(self) -> set:
+        return set(self.free_slots)
+
+    @property
+    def live_count(self) -> int:
+        """Number of live (non-freed) keyframes."""
+        return self.count - len(self.free_slots)
+
+    def live_slots_in_time_order(self) -> List[int]:
+        """Live slot ids sorted by dataset frame index (temporal order).
+        With slot recycling, slot order is NOT temporal order."""
+        free = self.free_slot_set
+        return [s for _, s in sorted(
+            (f, s) for s, f in enumerate(self.frame_indices[: self.count])
+            if f >= 0 and s not in free
+        )]
 
     # ------------------------------------------------------------------
 
@@ -249,9 +271,16 @@ class KeyframeStore:
         global_T_frame: se3.SE3,
         frame_index: int = -1,
     ) -> int:
-        """Append a keyframe + device covisibility update; returns its id."""
-        kf_id = self.count
-        self._ensure_capacity(kf_id + 1)
+        """Insert a keyframe (recycling a freed slot when available) +
+        device covisibility update; returns its slot id."""
+        if self.free_slots:
+            kf_id = self.free_slots.pop(0)
+        else:
+            kf_id = self.count
+            self._ensure_capacity(kf_id + 1)
+            self.count += 1
+            self.frame_indices.append(-1)
+        self.frame_indices[kf_id] = frame_index
         self.depth = self.depth.at[kf_id].set(frame.depth)
         raw = frame.raw_depth if frame.raw_depth is not None else frame.depth
         self.raw_depth = self.raw_depth.at[kf_id].set(raw)
@@ -277,17 +306,22 @@ class KeyframeStore:
         self.covis, self.activation = _register_covisibility(
             self.covis, self.activation, row, jnp.int32(kf_id)
         )
-
-        self.count += 1
-        self.frame_indices.append(frame_index)
+        self.last_active_iter = self.last_active_iter.at[kf_id].set(-1)
+        self.last_covis_iter = self.last_covis_iter.at[kf_id].set(-1)
         return kf_id
 
     def remove_keyframe(self, kf_id: int) -> None:
-        """Mark a keyframe as merged/deleted (MergeKeyframes analog)."""
+        """Delete a keyframe and return its slot to the free list
+        (MergeKeyframes analog — the slot is recycled by the next
+        add_keyframe, so capacity stays bounded)."""
         self.valid = self.valid.at[kf_id].set(False)
         self.activation = self.activation.at[kf_id].set(INACTIVE)
         self.covis = self.covis.at[kf_id].set(False)
         self.covis = self.covis.at[:, kf_id].set(False)
+        if kf_id < len(self.frame_indices):
+            self.frame_indices[kf_id] = -1
+        if kf_id not in self.free_slots:
+            self.free_slots.append(kf_id)
 
     # ------------------------------------------------------------------
 
@@ -353,13 +387,23 @@ class KeyframeStore:
         — this mirrors the reference's cudaMemGetInfo-gated rare path
         (bad_slam.cc:962-972) and is the only non-loop-closure read.
 
-        Returns the freed slot indices (host list)."""
-        import numpy as np  # noqa: F811
-
-        scores = _redundancy_scores(self.q, self.t, self.valid)
-        k = min(approx_merge_count, max(0, self.count - 2))
+        Temporal neighbors are host-computed from dataset frame indices
+        (value-free) because slot order is not temporal order once slots
+        are recycled. Returns the freed slot indices (host list)."""
+        order = self.live_slots_in_time_order()
+        k = min(approx_merge_count, max(0, len(order) - 2))
         if k == 0:
             return []
+        prev = np.full(self.capacity, -1, np.int32)
+        nxt = np.full(self.capacity, -1, np.int32)
+        for i, s in enumerate(order):
+            if i > 0:
+                prev[s] = order[i - 1]
+            if i + 1 < len(order):
+                nxt[s] = order[i + 1]
+        scores = _redundancy_scores(
+            self.q, self.t, self.valid, jnp.array(prev), jnp.array(nxt)
+        )
         _, sel = jax.lax.top_k(-scores, k)
         finite = jnp.isfinite(scores[sel])
         sel_np = np.asarray(sel)          # d2h: rare memory-pressure path
@@ -402,22 +446,14 @@ class KeyframeStore:
 
 
 @jax.jit
-def _redundancy_scores(q, t, valid):
-    """Per-keyframe merge score: distance+angle to the previous and next
-    valid keyframes, 90deg counting as 0.5 m (MergeKeyframes,
-    direct_ba.cc:251-338). Ineligible keyframes (id 0, ends, or beyond the
-    0.3 m / 45deg gates) score +inf."""
+def _redundancy_scores(q, t, valid, prev, nxt):
+    """Per-keyframe merge score: distance+angle to the temporally previous
+    and next keyframes, 90deg counting as 0.5 m (MergeKeyframes,
+    direct_ba.cc:251-338). `prev`/`nxt` are host-computed temporal neighbor
+    slots (-1 at the trajectory ends, which are never merged — this also
+    protects keyframe 0). Ineligible keyframes score +inf."""
     cap = q.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-    big = jnp.int32(cap + 1)
-
-    # prev valid index (exclusive cummax), next valid index (reverse cummin)
-    vi = jnp.where(valid, idx, -1)
-    prev = jax.lax.associative_scan(jnp.maximum, vi)
-    prev = jnp.concatenate([jnp.array([-1], jnp.int32), prev[:-1]])
-    ni = jnp.where(valid, idx, big)
-    nxt = jax.lax.associative_scan(jnp.minimum, ni, reverse=True)
-    nxt = jnp.concatenate([nxt[1:], jnp.array([big], jnp.int32)])
 
     R = jax.vmap(se3.quat_to_matrix)(q)
     z_axis = R[:, :, 2]  # viewing directions
@@ -431,5 +467,5 @@ def _redundancy_scores(q, t, valid):
         return jnp.where(ok, dist + (0.5 / (jnp.pi / 2.0)) * ang, jnp.inf)
 
     score = half_dist(idx, prev) + half_dist(idx, nxt)
-    eligible = valid & (idx > 0) & (prev >= 0) & (nxt < big)
+    eligible = valid & (prev >= 0) & (nxt >= 0)
     return jnp.where(eligible, score, jnp.inf)

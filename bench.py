@@ -1,16 +1,21 @@
-"""Headline benchmark: full VGA odometry frame throughput on one chip.
+"""Headline benchmark: full SLAM throughput (tracking + keyframe-rate BA).
 
-Mirrors the reference's operating point (BASELINE.md): per frame, the
-pipeline uploads the raw depth + RGB planes, runs the fused preprocessing
-program (brightness, bilateral filter, normals, radii), builds the 5-scale
-pyramid, and runs the multi-scale direct tracker (geometric + photometric
-residuals). The reference claims real-time (30 FPS input) on a GTX 1080;
-`vs_baseline` is measured FPS / 30.
+Mirrors the reference's operating point (BASELINE.md, `bad_slam.cc:174-283`,
+`bad_slam_config.h:72,179,185`): VGA frames through the FULL per-frame
+pipeline — upload, fused preprocessing, 5-scale pyramid, multi-scale direct
+tracking at 30 GN iterations/scale, a keyframe every 10th frame, and 10
+alternating-BA iterations per keyframe (surfel creation/activation/
+geometry/merge/compaction/pose opt). The reference runs this at ~30 FPS on
+a GTX 1080; `vs_baseline` is measured FPS / 30.
 
-NO device->host value reads happen before or during the timed region
+A secondary `vga_odometry_fps` (tracking-only loop) is reported inside the
+same JSON line for continuity with round-1 numbers.
+
+NO device->host value reads happen before or during the timed regions
 (PERF_NOTES.md: a single read permanently degrades the axon session).
+Timing is host clocks + jax.block_until_ready only.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -20,49 +25,117 @@ import time
 
 import numpy as np
 
+WIDTH, HEIGHT, NUM_SCALES = 640, 480, 5
+SLAM_FRAMES = 60
+KEYFRAME_INTERVAL = 10
+BA_ITERATIONS = 10
+TRACK_ITERS = 30  # kMaxIterationsPerScale (bad_slam_config.h)
 
-def main() -> None:
-    import os
 
+class _InMemoryVideo:
+    """RGBDVideo-shaped in-memory dataset (pre-rendered host frames), so the
+    benchmark exercises the full host->device upload path per frame without
+    disk IO noise."""
+
+    def __init__(self, camera, depths_u16, rgbs_u8):
+        self.camera = camera
+        self.depth_camera = camera
+        self._depths = depths_u16
+        self._rgbs = rgbs_u8
+        self.poses = [None] * len(depths_u16)
+        self.timestamps = [i / 30.0 for i in range(len(depths_u16))]
+
+    def __len__(self):
+        return len(self._depths)
+
+    def depth_u16(self, i):
+        return self._depths[i]
+
+    def color_u8(self, i):
+        return self._rgbs[i]
+
+    def set_pose(self, i, pose):
+        self.poses[i] = pose
+
+    def clear_frame(self, i):
+        pass
+
+
+def _render_frames(cam, scene, poses, raw_to_float_depth):
+    from badslam_tpu import synthetic as syn
+
+    depths, rgbs = [], []
+    for p in poses:
+        depth, inten = syn.render_scene(cam, scene, p)
+        depths.append(
+            np.clip(depth / raw_to_float_depth, 0, 65535).astype(np.uint16)
+        )
+        gray = np.clip(inten * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        rgbs.append(np.stack([gray, gray, gray], axis=-1))
+    return depths, rgbs
+
+
+def bench_slam(cam, scene) -> float:
+    """Full SLAM loop FPS: N frames through BadSlam.process_frame."""
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/badslam_tpu/xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from badslam_tpu import synthetic as syn
+    from badslam_tpu.config import BadSlamConfig
+    from badslam_tpu.frontend import BadSlam
+
+    cfg = BadSlamConfig(
+        num_scales=NUM_SCALES,
+        keyframe_interval=KEYFRAME_INTERVAL,
+        max_num_ba_iterations_per_keyframe=BA_ITERATIONS,
+        max_surfel_count=1 << 20,
+        tracking_max_iterations=TRACK_ITERS,
+        enable_loop_detection=False,
+    )
+    gt = syn.smooth_trajectory(SLAM_FRAMES, scale=0.002)
+    depths, rgbs = _render_frames(cam, scene, gt, cfg.raw_to_float_depth)
+
+    def one_pass():
+        video = _InMemoryVideo(cam, depths, rgbs)
+        slam = BadSlam(cfg, video)
+        t0 = time.perf_counter()
+        for i in range(len(video)):
+            slam.process_frame(i)
+        jax.block_until_ready(slam.traj_q)
+        return time.perf_counter() - t0, slam
+
+    one_pass()            # warmup: compiles everything (cache persists)
+    dt, slam = one_pass() # timed
+    return SLAM_FRAMES / dt
+
+
+def bench_odometry(cam, scene) -> float:
+    """Tracking-only loop FPS (round-1 metric, now at 30 iters/scale)."""
+    import jax
     import jax.numpy as jnp
 
     from badslam_tpu import synthetic as syn
-    from badslam_tpu.geometry import se3
     from badslam_tpu.ops.preprocess import preprocess_frame
     from badslam_tpu.ops.pyramid import build_pyramid
     from badslam_tpu.tracking.pairwise import track_frame_pairwise
 
-    width, height, num_scales = 640, 480, 5
-    rng = np.random.default_rng(0)
-    cam = syn.default_camera(width, height)
-    cams = tuple(cam.pyramid_level(i) for i in range(num_scales))
-    scene = syn.random_plane_scene(rng, num_planes=3)
+    cams = tuple(cam.pyramid_level(i) for i in range(NUM_SCALES))
 
     def pyramid_for(world_T_frame):
         depth, inten = syn.render_scene(cam, scene, world_T_frame)
-        rgb = np.clip(inten[..., None] * 255.0, 0, 255).astype(np.uint8)
-        rgb = np.repeat(rgb, 3, axis=-1)
+        rgb = np.repeat(
+            np.clip(inten[..., None] * 255.0, 0, 255).astype(np.uint8), 3, -1
+        )
         frame = preprocess_frame(
             cam, jnp.array(depth), jnp.array(rgb),
             max_depth=20.0, sigma_xy=1.5, radius_factor=2.0,
             sigma_inv_depth=0.005,
         )
         return build_pyramid(
-            frame.depth, frame.nx, frame.ny, frame.intensity, num_scales
+            frame.depth, frame.nx, frame.ny, frame.intensity, NUM_SCALES
         )
 
     base_pyr = pyramid_for(syn.identity_pose())
 
-    # Pre-render a small set of frames on the host (numpy); the timed loop
-    # replays them, including the host->device upload each frame.
     n_distinct = 4
     host_frames = []
     for i in range(n_distinct):
@@ -78,23 +151,21 @@ def main() -> None:
     t0 = jnp.zeros((3,), jnp.float32)
 
     def frame_step(depth_np, rgb_np, q, t):
-        """Full per-frame odometry: upload -> preprocess -> pyramid -> track."""
         frame = preprocess_frame(
             cam, jnp.array(depth_np), jnp.array(rgb_np),
             max_depth=20.0, sigma_xy=1.5, radius_factor=2.0,
             sigma_inv_depth=0.005,
         )
         pyramid = build_pyramid(
-            frame.depth, frame.nx, frame.ny, frame.intensity, num_scales
+            frame.depth, frame.nx, frame.ny, frame.intensity, NUM_SCALES
         )
         return track_frame_pairwise(
             cams, base_pyr, pyramid, q, t, q, t,
             baseline_fx=40.0, use_depth=True, use_descriptor=True,
-            test_two_initial_estimates=False, max_iterations=15,
+            test_two_initial_estimates=False, max_iterations=TRACK_ITERS,
         )
 
-    # Warmup / compile.
-    for d, rgb in host_frames:
+    for d, rgb in host_frames:  # warmup / compile
         r = frame_step(d, rgb, q0, t0)
     jax.block_until_ready(r)
 
@@ -104,14 +175,36 @@ def main() -> None:
         d, rgb = host_frames[i % n_distinct]
         r = frame_step(d, rgb, q0, t0)
     jax.block_until_ready(r)
-    dt = (time.perf_counter() - t_start) / n
+    return n / (time.perf_counter() - t_start)
 
-    fps = 1.0 / dt
+
+def main() -> None:
+    import os
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/badslam_tpu/xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from badslam_tpu import synthetic as syn
+
+    rng = np.random.default_rng(0)
+    cam = syn.default_camera(WIDTH, HEIGHT)
+    scene = syn.random_plane_scene(rng, num_planes=3)
+
+    odo_fps = bench_odometry(cam, scene)
+    slam_fps = bench_slam(cam, scene)
+
     print(json.dumps({
-        "metric": "vga_odometry_fps",
-        "value": round(fps, 2),
+        "metric": "slam_fps",
+        "value": round(slam_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(slam_fps / 30.0, 3),
+        "vga_odometry_fps": round(odo_fps, 2),
     }))
 
 
