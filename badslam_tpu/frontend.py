@@ -609,7 +609,10 @@ class BadSlam:
         if self.config.use_pcg:
             from badslam_tpu.ba.pcg import pcg_bundle_adjustment
 
-            pcg_bundle_adjustment(self.direct_ba, max_iterations=10)
+            pcg_bundle_adjustment(
+                self.direct_ba, max_iterations=10,
+                optimize_intrinsics=self.config.optimize_intrinsics,
+            )
             self._apply_ba_pose_updates(old_kq, old_kt)
             self.final_ba_done = True
             return

@@ -62,7 +62,10 @@ def test_pcg_recovers_geometry_perturbation():
     ba.surfels = ba.surfels._replace(
         pos=ba.surfels.pos + noise[:, None] * ba.surfels.normal)
 
-    pcg_bundle_adjustment(ba, max_iterations=4, max_inner_iterations=20)
+    # do_surfel_updates=False: creation/compaction would change surfel
+    # identity and break the row-wise comparison below.
+    pcg_bundle_adjustment(ba, max_iterations=4, max_inner_iterations=20,
+                          do_surfel_updates=False)
 
     v = np.asarray(ba.surfels.valid)
     err = np.linalg.norm(
@@ -77,8 +80,42 @@ def test_pcg_step_respects_gauge():
     ks = ba.keyframes
     q_before = np.asarray(ks.q[0])
     t_before = np.asarray(ks.t[0])
-    new_map, new_q, new_t = pcg_bundle_adjustment_step(
+    new_map, new_q, new_t, _, _ = pcg_bundle_adjustment_step(
         ba.surfels, cam, ks.stack(ks.valid), gauge_kf=0,
         max_inner_iterations=10)
     np.testing.assert_allclose(np.asarray(new_q[0]), q_before, atol=1e-7)
     np.testing.assert_allclose(np.asarray(new_t[0]), t_before, atol=1e-7)
+
+
+def test_pcg_recovers_intrinsics_perturbation():
+    """Intrinsics unknowns folded into the PCG system (the reference runs
+    its intrinsics round-trip tests against both solvers; unknown layout
+    direct_ba_pcg.cc:240-307): a perturbed camera estimate is pulled back
+    toward the truth through the PCG solver.
+
+    Note the assertion is a solid reduction, not exact recovery: the PCG
+    system optimizes surfel geometry JOINTLY with intrinsics, so part of a
+    small calibration error is legitimately absorbed by the map until the
+    joint system is self-consistent (the alternating Schur test recovers
+    exactly only because its surfels are held fixed during that step)."""
+    rng = np.random.default_rng(34)
+    cam, ba, gt = build_ba(rng, num_kf=5)
+
+    bad_cam = cam.with_intrinsics(
+        fx=cam.fx * 1.01, fy=cam.fy * 0.995,
+        cx=cam.cx + 1.0, cy=cam.cy - 1.0,
+    )
+    ba.cam = bad_cam
+
+    def err():
+        c = ba.cam
+        return (abs(c.fx - cam.fx) / cam.fx + abs(c.fy - cam.fy) / cam.fy
+                + (abs(c.cx - cam.cx) + abs(c.cy - cam.cy)) / cam.fx)
+
+    err0 = err()
+    pcg_bundle_adjustment(ba, max_iterations=3, max_inner_iterations=25,
+                          optimize_intrinsics=True, do_surfel_updates=False)
+    err1 = err()
+    assert np.isfinite(err1)
+    assert np.isfinite(np.asarray(ba.depth_params.cfactor)).all()
+    assert err1 < 0.6 * err0, (err0, err1)
