@@ -155,6 +155,7 @@ class DirectBA:
             baseline_fx=c.baseline_fx,
             cell_size=c.sparse_surfel_cell_size,
             filter_new_surfels=filter_new_surfels,
+            rgb_stack=ks.rgb,
         )
         return created
 
@@ -383,10 +384,17 @@ class DirectBA:
     # Export
     # ------------------------------------------------------------------
 
-    def export_point_cloud(self):
+    def export_point_cloud(self, refresh_colors: bool = True):
         """(positions, normals, colors) numpy arrays of valid surfels
         (ExportToPointCloud analog, direct_ba.cc:461-547). End-of-run only:
-        this reads device values."""
+        this reads device values. With refresh_colors the AssignColors pass
+        first averages every surfel's color over all its keyframe
+        observations (direct_ba.cc:506-511 -> AssignColorsCUDA)."""
+        if refresh_colors and self.keyframes.count > 0:
+            self.surfels = sf.assign_colors(
+                self.surfels, self.cam, self.keyframes.stack(),
+                self.keyframes.rgb, baseline_fx=self.config.baseline_fx,
+            )
         m = self.surfels
         valid = np.asarray(m.valid)
         return (

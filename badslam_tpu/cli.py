@@ -61,6 +61,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write calibration text files with this prefix")
     p.add_argument("--export_viewer", default=None,
                    help="write a self-contained HTML map viewer to this path")
+    p.add_argument("--live_viewer_dir", default=None,
+                   help="serve a quasi-live map view from this directory "
+                        "(snapshot every --live_viewer_interval keyframes; "
+                        "each snapshot is a device sync — do not benchmark "
+                        "with this on)")
+    p.add_argument("--live_viewer_port", type=int, default=8765,
+                   help="HTTP port for --live_viewer_dir (0 = random)")
+    p.add_argument("--live_viewer_interval", type=int, default=5,
+                   help="keyframes between live-viewer snapshots")
     p.add_argument("--final_ba", action="store_true",
                    help="run windowed + global final BA after the frame loop")
     p.add_argument("--final_ba_window_size", type=int, default=16)
@@ -119,6 +128,14 @@ def main(argv=None) -> int:
     else:
         slam = BadSlam(config, video)
         start = None
+    live = None
+    if args.live_viewer_dir:
+        from badslam_tpu.viz.viewer import LiveViewer
+
+        live = LiveViewer(args.live_viewer_dir, port=args.live_viewer_port,
+                          interval=args.live_viewer_interval)
+        slam.live_viewer = live
+        print(f"live viewer: http://127.0.0.1:{live.port}/index.html")
     slam.run(start=start, progress=not args.quiet)
 
     if args.final_ba:
@@ -153,6 +170,9 @@ def main(argv=None) -> int:
 
         save_calibration(slam.cam, slam.direct_ba.depth_params,
                          args.export_calibration)
+    if live is not None:
+        live.snapshot(slam)  # final state
+        live.close()
     if args.export_final_timings:
         Timing.save(args.export_final_timings)
     if not args.quiet:

@@ -80,6 +80,11 @@ class BadSlam:
         # interleaves the device work the same way stream priorities do).
         self.queued_ba_iterations = 0
 
+        # Optional quasi-live viewer (viz.viewer.LiveViewer). Each snapshot
+        # reads device state — set only for interactive runs, never when
+        # benchmarking (PERF_NOTES.md).
+        self.live_viewer = None
+
         self.loop_detector = None
         self._loop_thread = None
         self._loop_pending_seq = -1
@@ -337,6 +342,8 @@ class BadSlam:
 
         if self.loop_detector is not None:
             self._loop_detection_step(kf_id, frame_index)
+        if self.live_viewer is not None:
+            self.live_viewer.on_keyframe(self)
         return kf_id
 
     # ------------------------------------------------------------------

@@ -71,8 +71,9 @@ def save_state(slam, path: str) -> None:
     )
     if ks.count > 0:
         for name in ("depth", "raw_depth", "nx", "ny", "radius2", "intensity",
-                     "q", "t", "valid", "activation", "covis", "min_depth",
-                     "max_depth", "last_active_iter", "last_covis_iter"):
+                     "rgb", "q", "t", "valid", "activation", "covis",
+                     "min_depth", "max_depth", "last_active_iter",
+                     "last_covis_iter"):
             data[f"kf_{name}"] = np.asarray(getattr(ks, name))
     # surfels
     for name in ("pos", "normal", "radius2", "color", "desc", "valid",
@@ -140,9 +141,14 @@ def load_state(path: str, video) -> "BadSlam":
                          if "kf_free_slots" in z.files else [])
         ks.capacity = int(z["kf_depth"].shape[0])
         for name in ("depth", "raw_depth", "nx", "ny", "radius2", "intensity",
-                     "q", "t", "valid", "activation", "covis", "min_depth",
-                     "max_depth", "last_active_iter", "last_covis_iter"):
-            setattr(ks, name, jnp.array(z[f"kf_{name}"]))
+                     "rgb", "q", "t", "valid", "activation", "covis",
+                     "min_depth", "max_depth", "last_active_iter",
+                     "last_covis_iter"):
+            if f"kf_{name}" in z.files:  # rgb absent in v1 snapshots
+                setattr(ks, name, jnp.array(z[f"kf_{name}"]))
+        if ks.rgb is None or ks.rgb.shape[0] != ks.capacity:
+            g = jnp.clip(ks.intensity * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+            ks.rgb = jnp.stack([g, g, g], axis=-1)
 
     ba.surfels = SurfelMap(
         pos=jnp.array(z["sf_pos"]), normal=jnp.array(z["sf_normal"]),

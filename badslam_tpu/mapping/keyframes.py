@@ -62,8 +62,6 @@ def _frustum_points(cam: PinholeCamera, q, t, min_d, max_d):
         return ((px - cam.cx) / cam.fx, (py - cam.cy) / cam.fy)
 
     xs = []
-    for px, py in ((0.0, 0.0), (float(0), 0.0), (0.0, 0.0), (0.0, 0.0)):
-        pass  # (loop unrolled below for clarity)
     for px, py in ((0.0, 0.0), (cam.width * 1.0, 0.0), (0.0, cam.height * 1.0),
                    (cam.width * 1.0, cam.height * 1.0)):
         dx, dy = dirs(px, py)
@@ -180,6 +178,7 @@ class KeyframeStore:
     ny: Optional[jax.Array] = None
     radius2: Optional[jax.Array] = None
     intensity: Optional[jax.Array] = None
+    rgb: Optional[jax.Array] = None        # [K, H, W, 3] u8 color planes
     q: Optional[jax.Array] = None
     t: Optional[jax.Array] = None
     valid: Optional[jax.Array] = None          # [cap] bool
@@ -238,6 +237,7 @@ class KeyframeStore:
         self.ny = grow(self.ny, (new_cap, h, w))
         self.radius2 = grow(self.radius2, (new_cap, h, w))
         self.intensity = grow(self.intensity, (new_cap, h, w))
+        self.rgb = grow(self.rgb, (new_cap, h, w, 3), jnp.uint8)
         q0 = jnp.zeros((new_cap, 4), jnp.float32).at[:, 0].set(1.0)
         if self.q is None:
             self.q = q0
@@ -288,6 +288,14 @@ class KeyframeStore:
         self.ny = self.ny.at[kf_id].set(frame.ny)
         self.radius2 = self.radius2.at[kf_id].set(frame.radius2)
         self.intensity = self.intensity.at[kf_id].set(frame.intensity)
+        if frame.rgb is not None:
+            self.rgb = self.rgb.at[kf_id].set(frame.rgb.astype(jnp.uint8))
+        else:
+            # Gray fallback: replicate the intensity plane (keeps the color
+            # pipeline uniform for intensity-only fixtures).
+            g = jnp.clip(frame.intensity * 255.0 + 0.5, 0, 255)
+            self.rgb = self.rgb.at[kf_id].set(
+                jnp.stack([g, g, g], axis=-1).astype(jnp.uint8))
         self.q = self.q.at[kf_id].set(jnp.asarray(global_T_frame.q))
         self.t = self.t.at[kf_id].set(jnp.asarray(global_T_frame.t))
 

@@ -190,6 +190,7 @@ def create_surfels_for_keyframe(
     baseline_fx: float,
     cell_size: int,
     filter_new_surfels: bool = True,
+    rgb=None,                # optional [H, W, 3] color plane (u8 or f32)
 ) -> Tuple[SurfelMap, jax.Array]:
     """Create new surfels for unsupported cells of a keyframe.
 
@@ -288,7 +289,18 @@ def create_surfels_for_keyframe(
     desc1 = 180.0 * (i_t1 - i_c)
     desc2 = 180.0 * (i_t2 - i_c)
 
-    gray = 255.0 * i_c
+    # Creation-time color: real RGB sampled at the candidate pixel when the
+    # keyframe retains a color plane (CreateSurfelsCUDA inits color from the
+    # color texture, kernel_create_surfels.cu); gray fallback otherwise.
+    if rgb is not None:
+        rgbf = rgb.astype(dtype)
+        c_color = jnp.stack(
+            [bilinear(rgbf[..., ch], c_pxy_x, c_pxy_y) for ch in range(3)],
+            axis=-1,
+        )
+    else:
+        gray = 255.0 * i_c
+        c_color = jnp.stack([gray, gray, gray], axis=-1)
 
     # --- append (overflow-safe) ---
     order = jnp.cumsum(keep.astype(jnp.int32)) - 1
@@ -306,7 +318,7 @@ def create_surfels_for_keyframe(
         pos=scatter(smap.pos, p_global),
         normal=scatter(smap.normal, n_global),
         radius2=scatter(smap.radius2, c_radius2),
-        color=scatter(smap.color, jnp.stack([gray, gray, gray], axis=-1)),
+        color=scatter(smap.color, c_color),
         desc=scatter(smap.desc, jnp.stack([desc1, desc2], axis=-1)),
         valid=scatter(smap.valid, ok),
         active=scatter(smap.active, ok),  # new surfels start active
@@ -450,13 +462,18 @@ def create_surfels_for_keyframes(
     baseline_fx: float,
     cell_size: int,
     filter_new_surfels: bool = True,
+    rgb_stack: jax.Array | None = None,  # optional [K, H, W, 3] color planes
 ) -> Tuple[SurfelMap, jax.Array]:
     """Create surfels for every masked keyframe (scan with per-step cond)."""
 
     k = kstack.depth.shape[0]
 
     def body(smap_, inputs):
-        (idx,) = inputs
+        if rgb_stack is None:
+            (idx,) = inputs
+            rgb = None
+        else:
+            (idx, rgb) = inputs
 
         def run(smap_):
             covis_mask = covis_matrix[idx] & kstack.mask
@@ -471,6 +488,7 @@ def create_surfels_for_keyframes(
                 radius2_stack[idx], kstack.intensity[idx],
                 covis, min_observation_count,
                 baseline_fx, cell_size, filter_new_surfels,
+                rgb=rgb,
             )
             return new_map, created
 
@@ -481,7 +499,8 @@ def create_surfels_for_keyframes(
         return smap_, created
 
     ids = jnp.arange(k, dtype=jnp.int32)
-    smap, created = jax.lax.scan(body, smap, (ids,))
+    xs = (ids,) if rgb_stack is None else (ids, rgb_stack)
+    smap, created = jax.lax.scan(body, smap, xs)
     return smap, jnp.sum(created)
 
 
@@ -515,6 +534,68 @@ def merge_surfels_for_keyframes(
     ids = jnp.arange(k, dtype=jnp.int32)
     smap, _ = jax.lax.scan(body, smap, (ids,))
     return smap
+
+
+@functools.partial(jax.jit, static_argnames=("baseline_fx",))
+def assign_colors(
+    smap: SurfelMap,
+    cam: PinholeCamera,
+    kstack: KeyframeStack,
+    rgb_stack: jax.Array,   # [K, H, W, 3] keyframe color planes (u8 or f32)
+    baseline_fx: float,
+) -> SurfelMap:
+    """Refresh surfel colors: average the color of every keyframe pixel each
+    surfel is associated with (AssignColorsCUDA analog, kernels.h:301-308,
+    kernel_assign_colors.cu:73-131). Bilinear color sample at the float
+    projection, accumulate count+RGB over all masked keyframes, then mean.
+    Surfels with zero observations keep their creation-time color."""
+    dtype = smap.color.dtype
+
+    def body(carry, kf):
+        cnt, acc = carry
+        (d, fx_, fy_, q, t, m, rgb) = kf
+        ftg = se3.inverse(se3.SE3(q, t))
+        a = _associate(smap, cam, ftg.q, ftg.t, d, fx_, fy_, baseline_fx)
+        hit = a.valid & m
+        rgbf = rgb.astype(dtype)
+        sample = jnp.stack(
+            [bilinear(rgbf[..., ch], a.pxy_x, a.pxy_y) for ch in range(3)],
+            axis=-1,
+        )
+        cnt = cnt + hit.astype(dtype)
+        acc = acc + jnp.where(hit[:, None], sample, 0.0)
+        return (cnt, acc), None
+
+    n = smap.capacity
+    (cnt, acc), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((n,), dtype), jnp.zeros((n, 3), dtype)),
+        (kstack.depth, kstack.nx, kstack.ny, kstack.q, kstack.t, kstack.mask,
+         rgb_stack),
+    )
+    observed = cnt > 0
+    mean = acc / jnp.maximum(cnt, 1.0)[:, None]
+    return smap._replace(
+        color=jnp.where((smap.valid & observed)[:, None], mean, smap.color)
+    )
+
+
+@jax.jit
+def assign_descriptor_colors(smap: SurfelMap) -> SurfelMap:
+    """Debug visualization: map the two descriptor components to RG channels
+    with contrast stretch (AssignDescriptorColorsCUDA analog,
+    kernel_assign_colors.cu:233-258: descriptor/180 -> sign*|d|^0.35 ->
+    255.99*(0.5*d+0.5), blue fixed at 127)."""
+
+    def stretch(d):
+        d = d / 180.0
+        d = jnp.sign(d) * jnp.abs(d) ** 0.35
+        return jnp.clip(255.99 * (0.5 * d + 0.5), 0.0, 255.0)
+
+    r = stretch(smap.desc[:, 0])
+    g = stretch(smap.desc[:, 1])
+    b = jnp.full_like(r, 127.0)
+    return smap._replace(color=jnp.stack([r, g, b], axis=-1))
 
 
 @jax.jit

@@ -39,6 +39,10 @@ class ProcessedFrame(NamedTuple):
     # can be re-calibrated when self-calibration updates (a, cfactor)
     # (the reference keeps raw u16 depth per keyframe, keyframe.h:50-237).
     raw_depth: jax.Array | None = None
+    # Original color image [H, W, 3] u8 — retained so keyframes keep a color
+    # plane for surfel color assignment (the reference keeps a color texture
+    # per keyframe, keyframe.h:163-170). None for intensity-only inputs.
+    rgb: jax.Array | None = None
 
 
 def shift2d(img: jax.Array, dy: int, dx: int, fill=0.0) -> jax.Array:
@@ -331,6 +335,7 @@ def preprocess_frame(
         radius2=radius2,
         intensity=intensity,
         raw_depth=jnp.where(keep, filtered, 0.0),
+        rgb=rgb.astype(jnp.uint8) if rgb.ndim == 3 else None,
     )
 
 

@@ -4,16 +4,25 @@ The reference renders surfel splats, keyframe frustums, and trajectories
 live through a CUDA-GL interop VBO
 (/root/reference/applications/badslam/src/badslam/render_window.h:71-178).
 There is no GL interop on TPU and visualization must not sit on the
-compute path (PERF_NOTES.md), so the viewer is DECOUPLED: the map state is
-exported once into a single self-contained HTML file — raw WebGL point
-splats, trajectory polyline, keyframe frustums, orbit/zoom controls, no
-external assets or network access.
+compute path (PERF_NOTES.md), so the viewer is DECOUPLED, with two modes:
+
+  * one-shot: the map state is exported once into a single self-contained
+    HTML file — raw WebGL point splats, trajectory polyline, keyframe
+    frustums, orbit/zoom controls, no external assets or network access.
+  * live (opt-in): the same HTML shell in polling mode + a `LiveViewer`
+    that re-exports a map snapshot every N keyframes and serves the
+    directory over a local HTTP port, so the browser view updates DURING
+    the run (the reference's live render window analog). Each snapshot
+    reads device state — a sync point — so this is off by default and
+    must never be enabled for benchmarking.
 """
 
 from __future__ import annotations
 
 import base64
 import json
+import os
+import threading
 
 import numpy as np
 
@@ -26,21 +35,16 @@ _HTML = """<!DOCTYPE html>
 </style></head>
 <body>
 <div id="hud">badslam_tpu viewer — drag: orbit, wheel: zoom, shift-drag: pan<br>
- points: <span id="np"></span> · keyframes: <span id="nk"></span> · frames: <span id="nf"></span></div>
+ points: <span id="np"></span> · keyframes: <span id="nk"></span> · frames: <span id="nf"></span> <span id="live"></span></div>
 <canvas id="c"></canvas>
 <script>
-const DATA = __DATA__;
+const POLL_MS = __POLL_MS__;
 function decode(b64, dtype) {
   const raw = atob(b64); const buf = new ArrayBuffer(raw.length);
   const view = new Uint8Array(buf);
   for (let i = 0; i < raw.length; i++) view[i] = raw.charCodeAt(i);
   return dtype === 'u8' ? new Uint8Array(buf) : new Float32Array(buf);
 }
-const pos = decode(DATA.pos, 'f32'), col = decode(DATA.col, 'u8');
-const traj = decode(DATA.traj, 'f32'), kf = decode(DATA.kf, 'f32');
-document.getElementById('np').textContent = pos.length / 3;
-document.getElementById('nk').textContent = DATA.kf_count;
-document.getElementById('nf').textContent = traj.length / 3;
 
 const canvas = document.getElementById('c');
 const gl = canvas.getContext('webgl');
@@ -62,18 +66,30 @@ const locS = gl.getUniformLocation(prog, 'ps');
 
 function makeBuf(arr){ const b = gl.createBuffer();
  gl.bindBuffer(gl.ARRAY_BUFFER, b);
- gl.bufferData(gl.ARRAY_BUFFER, arr, gl.STATIC_DRAW); return b; }
-const posBuf = makeBuf(pos);
-const colF = new Float32Array(col.length);
-for (let i = 0; i < col.length; i++) colF[i] = col[i] / 255.0;
-const colBuf = makeBuf(colF);
-const trajBuf = makeBuf(traj);
-const kfBuf = makeBuf(kf);
+ gl.bufferData(gl.ARRAY_BUFFER, arr, gl.DYNAMIC_DRAW); return b; }
 
-// camera: orbit around the centroid
-let cx=0, cy=0, cz=0;
-for (let i=0;i<pos.length;i+=3){cx+=pos[i];cy+=pos[i+1];cz+=pos[i+2];}
-const n3 = Math.max(1, pos.length/3); cx/=n3; cy/=n3; cz/=n3;
+let posBuf=null, colBuf=null, trajBuf=null, kfBuf=null;
+let nPos=0, nTraj=0, nKf=0;
+let cx=0, cy=0, cz=0, haveCenter=false;
+
+function setData(DATA){
+  const pos = decode(DATA.pos, 'f32'), col = decode(DATA.col, 'u8');
+  const traj = decode(DATA.traj, 'f32'), kf = decode(DATA.kf, 'f32');
+  document.getElementById('np').textContent = pos.length / 3;
+  document.getElementById('nk').textContent = DATA.kf_count;
+  document.getElementById('nf').textContent = traj.length / 3;
+  const colF = new Float32Array(col.length);
+  for (let i = 0; i < col.length; i++) colF[i] = col[i] / 255.0;
+  posBuf = makeBuf(pos); colBuf = makeBuf(colF);
+  trajBuf = makeBuf(traj); kfBuf = makeBuf(kf);
+  nPos = pos.length/3; nTraj = traj.length/3; nKf = kf.length/3;
+  if (!haveCenter && nPos > 0){
+    cx=0; cy=0; cz=0;
+    for (let i=0;i<pos.length;i+=3){cx+=pos[i];cy+=pos[i+1];cz+=pos[i+2];}
+    cx/=nPos; cy/=nPos; cz/=nPos; haveCenter = true;
+  }
+}
+
 let yaw=0.6, pitch=0.4, dist=4.0, panX=0, panY=0;
 let drag=null;
 canvas.onmousedown = e => drag = {x:e.clientX, y:e.clientY, shift:e.shiftKey};
@@ -108,6 +124,7 @@ function mat(){
 }
 
 function draw(buf, colbuf, mode, count, size, color){
+ if (!buf || count === 0) return;
  gl.bindBuffer(gl.ARRAY_BUFFER, buf);
  gl.enableVertexAttribArray(locP);
  gl.vertexAttribPointer(locP, 3, gl.FLOAT, false, 0, 0);
@@ -125,10 +142,26 @@ function frame(){
  gl.clearColor(0.07,0.07,0.09,1); gl.enable(gl.DEPTH_TEST);
  gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
  gl.uniformMatrix4fv(locM, false, M);
- draw(posBuf, colBuf, gl.POINTS, pos.length/3, 2.0);
- draw(trajBuf, null, gl.LINE_STRIP, traj.length/3, 1.0, [0.2,0.9,0.3]);
- draw(kfBuf, null, gl.LINES, kf.length/3, 1.0, [0.95,0.6,0.1]);
+ draw(posBuf, colBuf, gl.POINTS, nPos, 2.0);
+ draw(trajBuf, null, gl.LINE_STRIP, nTraj, 1.0, [0.2,0.9,0.3]);
+ draw(kfBuf, null, gl.LINES, nKf, 1.0, [0.95,0.6,0.1]);
  requestAnimationFrame(frame);
+}
+
+const INLINE = __DATA__;
+if (INLINE) setData(INLINE);
+if (POLL_MS > 0){
+  let gen = -1;
+  async function poll(){
+    try {
+      const r = await fetch('map_data.json', {cache: 'no-store'});
+      const d = await r.json();
+      if (d.generation !== gen){ gen = d.generation; setData(d);
+        document.getElementById('live').textContent = ' · live #' + gen; }
+    } catch (e) {}
+    setTimeout(poll, POLL_MS);
+  }
+  poll();
 }
 frame();
 </script></body></html>
@@ -158,10 +191,10 @@ def _frustum_lines(q, t, cam, scale=0.08):
     return np.stack(lines)
 
 
-def export_html_viewer(slam, path: str, max_points: int = 400_000) -> None:
-    """Write a self-contained HTML viewer of the current map + trajectory.
-
-    End-of-run only: reads the full device state (like every export)."""
+def _snapshot_dict(slam, max_points: int = 400_000,
+                   generation: int = 0) -> dict:
+    """Map + trajectory + frustums as a base64 JSON-able dict.
+    READS DEVICE STATE — export/snapshot boundaries only."""
     pos, nrm, col = slam.direct_ba.export_point_cloud()
     if len(pos) > max_points:
         sel = np.random.default_rng(0).choice(
@@ -187,12 +220,84 @@ def export_html_viewer(slam, path: str, max_points: int = 400_000) -> None:
         return base64.b64encode(
             np.ascontiguousarray(arr, dtype).tobytes()).decode()
 
-    data = dict(
+    return dict(
         pos=b64(pos, np.float32),
         col=b64(np.clip(col, 0, 255), np.uint8),
         traj=b64(traj, np.float32),
         kf=b64(kf, np.float32),
         kf_count=int(valid[: ks.count].sum()) if ks.count else 0,
+        generation=generation,
     )
+
+
+def export_html_viewer(slam, path: str, max_points: int = 400_000) -> None:
+    """Write a self-contained HTML viewer of the current map + trajectory.
+
+    End-of-run only: reads the full device state (like every export)."""
+    data = _snapshot_dict(slam, max_points)
     with open(path, "w") as f:
-        f.write(_HTML.replace("__DATA__", json.dumps(data)))
+        f.write(_HTML.replace("__DATA__", json.dumps(data))
+                     .replace("__POLL_MS__", "0"))
+
+
+class LiveViewer:
+    """Quasi-live map view: periodic snapshots + a local HTTP server.
+
+    The reference's render window updates continuously from the BA thread
+    (render_window.cc); here the host exports a snapshot every
+    `interval` keyframes into `directory/map_data.json` and the polling
+    HTML shell (directory/index.html) re-uploads the buffers. Every
+    snapshot is a device read + sync — keep `interval` coarse and never
+    enable this while benchmarking (PERF_NOTES.md)."""
+
+    def __init__(self, directory: str, port: int = 0, interval: int = 5,
+                 max_points: int = 400_000, poll_ms: int = 2000):
+        self.directory = directory
+        self.interval = max(1, interval)
+        self.max_points = max_points
+        self.generation = 0
+        self._keyframes_seen = 0
+        self._server = None
+        self.port = None
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "index.html"), "w") as f:
+            f.write(_HTML.replace("__DATA__", "null")
+                         .replace("__POLL_MS__", str(poll_ms)))
+        if port is not None:
+            self._start_server(port)
+
+    def _start_server(self, port: int) -> None:
+        import http.server
+        from functools import partial
+
+        class _QuietHandler(http.server.SimpleHTTPRequestHandler):
+            def log_message(self, *args):  # no per-request stdout noise
+                pass
+
+        self._server = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", port),
+            partial(_QuietHandler, directory=self.directory))
+        self.port = self._server.server_address[1]
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+
+    def on_keyframe(self, slam) -> None:
+        """Frontend hook: snapshot every `interval`-th keyframe."""
+        self._keyframes_seen += 1
+        if self._keyframes_seen % self.interval == 0:
+            self.snapshot(slam)
+
+    def snapshot(self, slam) -> None:
+        """Write map_data.json atomically (tmp + rename)."""
+        self.generation += 1
+        data = _snapshot_dict(slam, self.max_points, self.generation)
+        path = os.path.join(self.directory, "map_data.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+
+    def close(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server = None
