@@ -53,6 +53,11 @@ class BadSlamConfig:
     disable_deactivation: bool = True
     use_geometric_residuals: bool = True
     use_photometric_residuals: bool = True
+    # Track against gradient-magnitude images instead of descriptor
+    # residuals (the reference's compile-time `use_gradmag` switch,
+    # bad_slam.cc:835, kernel_opt_pose.h:55 _GradMag kernel variants).
+    # Pairwise tracking only; BA keeps descriptor residuals.
+    use_gradmag: bool = False
     optimize_intrinsics: bool = False
     intrinsics_optimization_interval: int = 10
     do_surfel_updates: bool = True

@@ -54,6 +54,11 @@ class BadSlam:
             self.cam.pyramid_level(i) for i in range(config.num_scales)
         )
 
+        # Device remap table for distorted source images (loader-built).
+        self._undistort_map = None
+        if getattr(video, "undistortion_map", None) is not None:
+            self._undistort_map = jnp.array(video.undistortion_map)
+
         # Base keyframe state (bad_slam.h: base_kf_*).
         self.base_kf_id: Optional[int] = None
         self.base_kf_global_T_frame = se3.identity()
@@ -171,9 +176,11 @@ class BadSlam:
             a=params.a,
             cfactor=params.cfactor,
             cell_size=c.sparse_surfel_cell_size,
+            undistort_map=self._undistort_map,
         )
         pyramid = build_pyramid(
-            frame.depth, frame.nx, frame.ny, frame.intensity, c.num_scales
+            frame.depth, frame.nx, frame.ny, frame.intensity, c.num_scales,
+            gradmag=c.use_gradmag,
         )
         return frame, pyramid
 
@@ -204,7 +211,9 @@ class BadSlam:
             est1.q, est1.t, est2.q, est2.t,
             baseline_fx=c.baseline_fx,
             use_depth=c.use_geometric_residuals,
-            use_descriptor=c.use_photometric_residuals,
+            use_descriptor=(c.use_photometric_residuals
+                            and not c.use_gradmag),
+            use_gradmag=c.use_gradmag,
             test_two_initial_estimates=(
                 c.use_motion_model and len(self.base_kf_tr_frame) >= 3
             ),
@@ -361,6 +370,17 @@ class BadSlam:
                 + 0.114 * rgb[..., 2]).astype(np.uint8)
         depth = self.video.depth_u16(frame_index).astype(np.float32) \
             * c.raw_to_float_depth
+        um = getattr(self.video, "undistortion_map", None)
+        if um is not None:
+            # Host nearest remap so loop features/geometry see the same
+            # undistorted pinhole images the device pipeline uses.
+            h, w = depth.shape
+            xi = np.clip(np.floor(um[..., 0]).astype(np.int32), 0, w - 1)
+            yi = np.clip(np.floor(um[..., 1]).astype(np.int32), 0, h - 1)
+            inside = ((um[..., 0] >= 0) & (um[..., 1] >= 0)
+                      & (um[..., 0] < w) & (um[..., 1] < h))
+            gray = np.where(inside, gray[yi, xi], 0).astype(np.uint8)
+            depth = np.where(inside, depth[yi, xi], 0.0).astype(np.float32)
 
         if self._loop_thread is not None:
             # Parallel mode (loop_detector.cc:793-832): consume results of
@@ -399,7 +419,7 @@ class BadSlam:
         ks = self.direct_ba.keyframes
         return build_pyramid(
             ks.depth[kf_id], ks.nx[kf_id], ks.ny[kf_id], ks.intensity[kf_id],
-            self.config.num_scales,
+            self.config.num_scales, gradmag=self.config.use_gradmag,
         )
 
     def _attempt_loop_closure(self, kf_id, matched_id, cur_T_matched_init):
@@ -444,7 +464,9 @@ class BadSlam:
                 jnp.array(init.q, jnp.float32), jnp.array(init.t, jnp.float32),
                 baseline_fx=c.baseline_fx,
                 use_depth=c.use_geometric_residuals,
-                use_descriptor=c.use_photometric_residuals,
+                use_descriptor=(c.use_photometric_residuals
+                                and not c.use_gradmag),
+                use_gradmag=c.use_gradmag,
                 max_iterations=c.tracking_max_iterations,
             )
             cur_T_old = s3.SE3(np.asarray(res.q, float),

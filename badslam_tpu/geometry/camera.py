@@ -153,6 +153,55 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class RadTanCamera:
+    """Pinhole + radial-tangential (Brown) distortion — the reference's
+    RadtanCamera model (libvis camera.h camera hierarchy). SLAM runs on
+    undistorted pinhole images; this model exists to describe the SOURCE
+    images so the loader can build an undistortion map
+    (undistortion.h:40-58)."""
+
+    pinhole: PinholeCamera
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+
+    @property
+    def width(self) -> int:
+        return self.pinhole.width
+
+    @property
+    def height(self) -> int:
+        return self.pinhole.height
+
+    def distort_normalized(self, nx, ny):
+        """Normalized coords -> distorted normalized coords."""
+        r2 = nx * nx + ny * ny
+        radial = 1.0 + self.k1 * r2 + self.k2 * r2 * r2
+        dx = 2.0 * self.p1 * nx * ny + self.p2 * (r2 + 2.0 * nx * nx)
+        dy = self.p1 * (r2 + 2.0 * ny * ny) + 2.0 * self.p2 * nx * ny
+        return nx * radial + dx, ny * radial + dy
+
+    def project_normalized(self, nx, ny):
+        """Normalized coords -> distorted pixel-corner coordinates."""
+        xd, yd = self.distort_normalized(nx, ny)
+        c = self.pinhole
+        return c.fx * xd + c.cx, c.fy * yd + c.cy
+
+    def undistortion_map(self, target: PinholeCamera | None = None):
+        """[H, W, 2] source-pixel lookup for each target pixel (host numpy).
+        `target` defaults to the distortion-free pinhole core."""
+        import numpy as np
+
+        target = target or self.pinhole
+        ys, xs = np.mgrid[0:target.height, 0:target.width].astype(np.float32)
+        nx = (xs + 0.5 - target.cx) / target.fx
+        ny = (ys + 0.5 - target.cy) / target.fy
+        px, py = self.project_normalized(nx, ny)
+        return np.stack([px, py], axis=-1).astype(np.float32)
+
+
 def pixel_grid(height: int, width: int, dtype=jnp.float32):
     """Integer pixel index grids (y, x), each [H, W]."""
     ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)

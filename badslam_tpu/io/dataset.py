@@ -74,6 +74,9 @@ class RGBDVideo:
     depth_camera: Optional[PinholeCamera] = None
     # global_T_frame per frame; identity until tracked (or loaded GT).
     poses: List[Optional[se3.SE3]] = field(default_factory=list)
+    # [H, W, 2] source-pixel remap when the source images are distorted
+    # (loader-built; preprocess_frame applies it on device). None = pinhole.
+    undistortion_map: Optional[np.ndarray] = None
     _color_cache: Dict[int, np.ndarray] = field(default_factory=dict)
     _depth_cache: Dict[int, np.ndarray] = field(default_factory=dict)
 
@@ -133,7 +136,13 @@ def load_tum_dataset(
 ) -> RGBDVideo:
     calib_path = os.path.join(path, "calibration.txt")
     with open(calib_path) as f:
-        fx, fy, cx, cy = (float(v) for v in f.readline().split()[:4])
+        calib_vals = [float(v) for v in f.readline().split()]
+    fx, fy, cx, cy = calib_vals[:4]
+    # Extended calibration "fx fy cx cy k1 k2 [p1 p2]": radtan-distorted
+    # source images. The SLAM pipeline runs on undistorted pinhole frames
+    # (the reference undistorts on load, undistortion.h:40-58) — build the
+    # remap table here; preprocess_frame applies it on device.
+    distortion = calib_vals[4:8]
 
     color_paths: List[str] = []
     depth_paths: List[str] = []
@@ -164,6 +173,14 @@ def load_tum_dataset(
         camera=camera,
     )
     video._depth_cache[0] = first
+
+    if any(abs(v) > 0 for v in distortion):
+        from badslam_tpu.geometry.camera import RadTanCamera
+
+        k = distortion + [0.0] * (4 - len(distortion))
+        src = RadTanCamera(pinhole=camera, k1=k[0], k2=k[1],
+                           p1=k[2], p2=k[3])
+        video.undistortion_map = src.undistortion_map()
 
     if trajectory_filename:
         ts, poses = load_tum_trajectory(os.path.join(path, trajectory_filename))

@@ -168,6 +168,7 @@ def load_state(path: str, video) -> "BadSlam":
         slam.base_kf_pyramid = build_pyramid(
             ks.depth[base_kf_id], ks.nx[base_kf_id], ks.ny[base_kf_id],
             ks.intensity[base_kf_id], config.num_scales,
+            gradmag=config.use_gradmag,
         )
 
         # Re-register keyframe features with the loop detector (the

@@ -301,13 +301,21 @@ def preprocess_frame(
     cfactor: Optional[jax.Array] = None,
     cell_size: int = 4,
     use_pallas: Optional[bool] = None,
+    undistort_map: Optional[jax.Array] = None,
 ) -> ProcessedFrame:
     """Full preprocessing pipeline for one frame — single fused XLA program.
 
     Mirrors BadSlam::PreprocessFrame (bad_slam.cc:643-765): brightness,
     bilateral filter + cutoff, normals, radii/isolation — but fused into one
-    device program instead of 4 kernel launches.
+    device program instead of 4 kernel launches. With `undistort_map`
+    ([H, W, 2] source-pixel lookup from a distorted camera model) the frame
+    is remapped to the pinhole model first (nearest for depth, bilinear for
+    color — UndistortImage semantics, undistortion.h:40-58).
     """
+    if undistort_map is not None:
+        depth_metric = undistort_image(depth_metric, undistort_map,
+                                       nearest=True)
+        rgb = undistort_image(rgb.astype(jnp.float32), undistort_map)
     intensity = compute_brightness(rgb) if rgb.ndim == 3 else rgb
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
@@ -335,7 +343,9 @@ def preprocess_frame(
         radius2=radius2,
         intensity=intensity,
         raw_depth=jnp.where(keep, filtered, 0.0),
-        rgb=rgb.astype(jnp.uint8) if rgb.ndim == 3 else None,
+        rgb=(rgb if rgb.dtype == jnp.uint8
+             else jnp.clip(rgb + 0.5, 0, 255).astype(jnp.uint8))
+        if rgb.ndim == 3 else None,
     )
 
 

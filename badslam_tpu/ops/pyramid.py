@@ -54,16 +54,32 @@ def downsample_level(level: FramePyramidLevel) -> FramePyramidLevel:
     return FramePyramidLevel(depth, nx, ny, inten)
 
 
-@functools.partial(jax.jit, static_argnames=("num_scales",))
+@functools.partial(jax.jit, static_argnames=("num_scales", "gradmag"))
 def build_pyramid(
     depth: jax.Array,
     nx: jax.Array,
     ny: jax.Array,
     intensity: jax.Array,
     num_scales: int,
+    gradmag: bool = False,
 ) -> Tuple[FramePyramidLevel, ...]:
-    """Finest-first tuple of `num_scales` levels (static shapes per level)."""
+    """Finest-first tuple of `num_scales` levels (static shapes per level).
+
+    With `gradmag`, each level's intensity plane is replaced by the Sobel
+    gradient magnitude of that level's image (the reference precomputes
+    gradmag textures per tracking level for its _GradMag kernel variants,
+    bad_slam.h:275-280)."""
     levels: List[FramePyramidLevel] = [FramePyramidLevel(depth, nx, ny, intensity)]
     for _ in range(num_scales - 1):
         levels.append(downsample_level(levels[-1]))
+    if gradmag:
+        from badslam_tpu.ops.preprocess import (
+            compute_sobel_gradient_magnitude,
+        )
+
+        levels = [
+            lvl._replace(
+                intensity=compute_sobel_gradient_magnitude(lvl.intensity))
+            for lvl in levels
+        ]
     return tuple(levels)

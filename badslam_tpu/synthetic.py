@@ -116,6 +116,36 @@ def render_scene(
     Depth is the z-depth of the nearest plane intersection in front of the
     camera; pixels hitting no plane get 0. Pure numpy on the host.
     """
+    ys, xs = np.mgrid[0 : cam.height, 0 : cam.width]
+    dx = cam.fx_inv * xs + cam.cx_inv
+    dy = cam.fy_inv * ys + cam.cy_inv
+    return _render_from_dirs(dx, dy, scene, world_T_frame)
+
+
+def render_scene_radtan(rtcam, scene, world_T_frame, iterations: int = 10):
+    """Ray-cast through a radtan-DISTORTED camera (geometry.camera
+    .RadTanCamera): per source pixel, the undistorted normalized direction
+    is recovered by fixed-point inversion of the Brown model, then the same
+    plane ray-cast runs. Produces distorted source images for undistortion
+    tests (the reference validates tracking per distortion mode,
+    test_pairwise_frame_tracking.cc:280-370)."""
+    cam = rtcam.pinhole
+    ys, xs = np.mgrid[0 : cam.height, 0 : cam.width]
+    xd = (xs + 0.5 - cam.cx) / cam.fx
+    yd = (ys + 0.5 - cam.cy) / cam.fy
+    nx, ny = xd.copy(), yd.copy()
+    for _ in range(iterations):
+        r2 = nx * nx + ny * ny
+        radial = 1.0 + rtcam.k1 * r2 + rtcam.k2 * r2 * r2
+        tx = 2.0 * rtcam.p1 * nx * ny + rtcam.p2 * (r2 + 2.0 * nx * nx)
+        ty = rtcam.p1 * (r2 + 2.0 * ny * ny) + 2.0 * rtcam.p2 * nx * ny
+        nx = (xd - tx) / radial
+        ny = (yd - ty) / radial
+    return _render_from_dirs(nx, ny, scene, world_T_frame)
+
+
+def _render_from_dirs(dx, dy, scene, world_T_frame):
+    """Plane-scene ray-cast along per-pixel directions (dx, dy, 1)."""
     hp = _host_pose(world_T_frame)
     w2f = hp.inverse()
     R_fw = _np_quat_to_matrix(w2f.q)
@@ -125,11 +155,9 @@ def render_scene(
     n_c = scene.normals @ R_fw.T
     p_c = scene.points @ R_fw.T + t_fw
 
-    ys, xs = np.mgrid[0 : cam.height, 0 : cam.width]
-    dx = cam.fx_inv * xs + cam.cx_inv
-    dy = cam.fy_inv * ys + cam.cy_inv
+    height, width = dx.shape
     # Ray direction (dx, dy, 1); z-depth d solves n·(d*dir - p) = 0.
-    best = np.full((cam.height, cam.width), np.inf, np.float32)
+    best = np.full((height, width), np.inf, np.float32)
     for i in range(len(scene.points)):
         denom = n_c[i, 0] * dx + n_c[i, 1] * dy + n_c[i, 2]
         num = n_c[i] @ p_c[i]
@@ -219,22 +247,38 @@ def write_tum_dataset(
     poses: Sequence[se3.SE3],
     raw_to_float_depth: float = 1.0 / 5000.0,
     write_gt: bool = True,
+    distortion=None,  # optional (k1, k2[, p1, p2]) — write DISTORTED images
 ) -> None:
     """Write a synthetic TUM/ETH3D-format dataset directory: calibration.txt,
-    associated.txt, rgb/depth 16-bit PNGs, optional groundtruth.txt."""
+    associated.txt, rgb/depth 16-bit PNGs, optional groundtruth.txt.
+    With `distortion`, images are rendered through the radtan model and
+    calibration.txt carries the extended "fx fy cx cy k1 k2 p1 p2" line."""
     import os
 
     import cv2
 
+    rtcam = None
+    if distortion is not None:
+        from badslam_tpu.geometry.camera import RadTanCamera
+
+        k = list(distortion) + [0.0] * (4 - len(distortion))
+        rtcam = RadTanCamera(pinhole=cam, k1=k[0], k2=k[1], p1=k[2], p2=k[3])
+
     os.makedirs(os.path.join(path, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(path, "depth"), exist_ok=True)
     with open(os.path.join(path, "calibration.txt"), "w") as f:
-        f.write(f"{cam.fx} {cam.fy} {cam.cx} {cam.cy}\n")
+        line = f"{cam.fx} {cam.fy} {cam.cx} {cam.cy}"
+        if rtcam is not None:
+            line += f" {rtcam.k1} {rtcam.k2} {rtcam.p1} {rtcam.p2}"
+        f.write(line + "\n")
 
     assoc_lines = []
     gt_lines = []
     for i, world_T_frame in enumerate(poses):
-        depth, inten = render_scene(cam, scene, world_T_frame)
+        if rtcam is not None:
+            depth, inten = render_scene_radtan(rtcam, scene, world_T_frame)
+        else:
+            depth, inten = render_scene(cam, scene, world_T_frame)
         depth_u16 = np.clip(depth / raw_to_float_depth, 0, 65535).astype(
             np.uint16
         )
