@@ -65,21 +65,18 @@ def build_pyramid(
 ) -> Tuple[FramePyramidLevel, ...]:
     """Finest-first tuple of `num_scales` levels (static shapes per level).
 
-    With `gradmag`, each level's intensity plane is replaced by the Sobel
-    gradient magnitude of that level's image (the reference precomputes
-    gradmag textures per tracking level for its _GradMag kernel variants,
-    bad_slam.h:275-280)."""
-    levels: List[FramePyramidLevel] = [FramePyramidLevel(depth, nx, ny, intensity)]
-    for _ in range(num_scales - 1):
-        levels.append(downsample_level(levels[-1]))
+    With `gradmag`, the full-resolution Sobel gradient magnitude replaces
+    the intensity plane BEFORE pyramid construction, so coarser levels are
+    downsampled gradmag — exactly the reference's flow: the gradmag texture
+    is fed through DownsampleImagesCUDA as the color channel
+    (pairwise_frame_tracking.cc:293-344, bad_slam.h:275-280)."""
     if gradmag:
         from badslam_tpu.ops.preprocess import (
             compute_sobel_gradient_magnitude,
         )
 
-        levels = [
-            lvl._replace(
-                intensity=compute_sobel_gradient_magnitude(lvl.intensity))
-            for lvl in levels
-        ]
+        intensity = compute_sobel_gradient_magnitude(intensity)
+    levels: List[FramePyramidLevel] = [FramePyramidLevel(depth, nx, ny, intensity)]
+    for _ in range(num_scales - 1):
+        levels.append(downsample_level(levels[-1]))
     return tuple(levels)

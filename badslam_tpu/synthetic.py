@@ -177,6 +177,117 @@ def _render_from_dirs(dx, dy, scene, world_T_frame):
     return depth, inten
 
 
+class HeightmapMesh(NamedTuple):
+    """Random-heightmap triangle mesh fixture (the reference's heaviest
+    tracker test scene, test_pairwise_frame_tracking.cc:280-340)."""
+
+    vertices: np.ndarray   # [V, 3] world-space positions
+    faces: np.ndarray      # [F, 3] int32 vertex indices
+    colors: np.ndarray     # [V] f32 per-vertex intensity in [0, 1]
+
+
+def heightmap_mesh_scene(
+    rng: np.random.Generator,
+    vertices_x: int = 31,
+    vertices_y: int = 31,
+    extent: float = 5.0,
+    z_distance: float = 1.0,
+    z_variation: float = 0.05,
+) -> HeightmapMesh:
+    """Random heightmap at z~1 with +-z_variation noise, borders pulled back
+    to avoid self-occlusion, random per-vertex colors — the reference's
+    fixture parameters (kHeightmapVerticesX/Y=61, width/height=5,
+    z=1 +- 0.05, test_pairwise_frame_tracking.cc:292-340)."""
+    xs = np.linspace(-0.5, 0.5, vertices_x)
+    ys = np.linspace(-0.5, 0.5, vertices_y)
+    gx, gy = np.meshgrid(xs, ys)
+    z = z_distance + rng.uniform(-z_variation, z_variation, gx.shape)
+    z -= 6.0 * np.sqrt(gx * gx + gy * gy)  # pull back borders
+    vertices = np.stack(
+        [gx * extent, gy * extent, z], axis=-1).reshape(-1, 3)
+    colors = rng.integers(0, 256, len(vertices)).astype(np.float32) / 255.0
+
+    faces = []
+    for y in range(vertices_y - 1):
+        for x in range(vertices_x - 1):
+            i00 = x + y * vertices_x
+            i10 = (x + 1) + y * vertices_x
+            i01 = x + (y + 1) * vertices_x
+            i11 = (x + 1) + (y + 1) * vertices_x
+            faces.append((i01, i10, i00))
+            faces.append((i01, i11, i10))
+    return HeightmapMesh(vertices.astype(np.float32),
+                         np.array(faces, np.int32), colors)
+
+
+def render_mesh(
+    cam: PinholeCamera,
+    mesh: HeightmapMesh,
+    world_T_frame,
+    min_depth: float = 0.1,
+    max_depth: float = 20.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Z-buffer rasterization of the mesh (host numpy; replaces the
+    reference's offscreen OpenGL renderer for tests). Perspective-correct
+    barycentric interpolation of depth and vertex intensity.
+    Returns (depth [H,W] f32 z-depth, intensity [H,W] f32)."""
+    hp = _host_pose(world_T_frame)
+    w2f = hp.inverse()
+    R = _np_quat_to_matrix(w2f.q)
+    vc = mesh.vertices @ R.T + w2f.t  # camera-frame vertices
+
+    h, w = cam.height, cam.width
+    depth_buf = np.full((h, w), np.inf, np.float64)
+    inten_buf = np.zeros((h, w), np.float64)
+
+    z = vc[:, 2]
+    px = cam.fx * vc[:, 0] / np.where(z > 0, z, 1.0) + cam.cx
+    py = cam.fy * vc[:, 1] / np.where(z > 0, z, 1.0) + cam.cy
+
+    for f in mesh.faces:
+        if np.any(vc[f, 2] <= min_depth):
+            continue
+        tx, ty = px[f], py[f]
+        x0 = max(int(np.floor(tx.min())), 0)
+        x1 = min(int(np.ceil(tx.max())), w - 1)
+        y0 = max(int(np.floor(ty.min())), 0)
+        y1 = min(int(np.ceil(ty.max())), h - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        gy, gx = np.mgrid[y0:y1 + 1, x0:x1 + 1]
+        # Pixel centers in corner convention.
+        pxc = gx + 0.5
+        pyc = gy + 0.5
+        d = ((ty[1] - ty[2]) * (tx[0] - tx[2])
+             + (tx[2] - tx[1]) * (ty[0] - ty[2]))
+        if abs(d) < 1e-12:
+            continue
+        b0 = ((ty[1] - ty[2]) * (pxc - tx[2])
+              + (tx[2] - tx[1]) * (pyc - ty[2])) / d
+        b1 = ((ty[2] - ty[0]) * (pxc - tx[2])
+              + (tx[0] - tx[2]) * (pyc - ty[2])) / d
+        b2 = 1.0 - b0 - b1
+        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+        if not inside.any():
+            continue
+        inv_z = (b0 / vc[f[0], 2] + b1 / vc[f[1], 2] + b2 / vc[f[2], 2])
+        zi = 1.0 / np.maximum(inv_z, 1e-12)
+        ci = (b0 * mesh.colors[f[0]] / vc[f[0], 2]
+              + b1 * mesh.colors[f[1]] / vc[f[1], 2]
+              + b2 * mesh.colors[f[2]] / vc[f[2], 2]) * zi
+        win_d = depth_buf[y0:y1 + 1, x0:x1 + 1]
+        win_i = inten_buf[y0:y1 + 1, x0:x1 + 1]
+        closer = inside & (zi < win_d)
+        win_d[closer] = zi[closer]
+        win_i[closer] = ci[closer]
+
+    depth = np.where(
+        np.isfinite(depth_buf) & (depth_buf <= max_depth), depth_buf, 0.0
+    ).astype(np.float32)
+    inten = np.floor(np.clip(inten_buf, 0, 1) * 255.0 + 0.5) / 255.0
+    return depth, np.where(depth > 0, inten, 0.0).astype(np.float32)
+
+
 def pose(tx=0.0, ty=0.0, tz=0.0, rx=0.0, ry=0.0, rz=0.0) -> se3.SE3:
     """SE3 from a twist — computed on HOST (numpy Rodrigues), returned as the
     usual jnp-backed se3.SE3 without any device->host read."""
@@ -303,15 +414,26 @@ def write_tum_dataset(
             f.write("\n".join(gt_lines) + "\n")
 
 
-def ate_rmse(est_poses, gt_poses) -> float:
-    """ATE RMSE after SE3 alignment (Horn; the ETH3D benchmark metric)."""
+def ate_rmse(est_poses, gt_poses, align: str = "se3") -> float:
+    """ATE RMSE after trajectory alignment (Horn / Umeyama; the ETH3D
+    benchmark metric). `align`: "se3" (rigid), "sim3" (rigid + scale — the
+    TUM benchmark's scale-invariant variant), or "none"."""
     est = np.array([np.asarray(p.t, np.float64) for p in est_poses])
     gt = np.array([np.asarray(p.t, np.float64) for p in gt_poses])
+    if align == "none":
+        return float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=-1))))
     mu_e, mu_g = est.mean(0), gt.mean(0)
     E, G = est - mu_e, gt - mu_g
-    U, _, Vt = np.linalg.svd(E.T @ G)
-    S = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+    U, sv, Vt = np.linalg.svd(E.T @ G)
+    sign = np.sign(np.linalg.det(U @ Vt))
+    S = np.diag([1.0, 1.0, sign])
     R = (U @ S @ Vt).T
-    t = mu_g - R @ mu_e
-    aligned = est @ R.T + t
+    if align == "sim3":
+        # Umeyama: c = tr(diag(sv) S) / sum ||E_i||^2.
+        scale = float(np.sum(sv * np.diag(S))
+                      / max(np.sum(E * E), 1e-30))
+    else:
+        scale = 1.0
+    t = mu_g - scale * (R @ mu_e)
+    aligned = scale * (est @ R.T) + t
     return float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=-1))))

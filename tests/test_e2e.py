@@ -38,3 +38,19 @@ def test_cli_end_to_end(tmp_path):
     rmse = syn.ate_rmse(est, gt)
     assert rmse < 0.01, rmse
     assert os.path.getsize(ply_path) > 1000
+
+    # The standalone evaluation harness agrees (tools/evaluate_ate.py:
+    # timestamp association + Horn/Umeyama alignment).
+    import sys
+
+    sys.path[:0] = [os.path.join(os.path.dirname(__file__), "..", "tools")]
+    from evaluate_ate import associate_and_evaluate
+
+    stats = associate_and_evaluate(
+        est_path, os.path.join(path, "groundtruth.txt"))
+    assert stats["pairs"] == len(gt)
+    assert abs(stats["rmse"] - rmse) < 1e-6, (stats["rmse"], rmse)
+    sim3 = associate_and_evaluate(
+        est_path, os.path.join(path, "groundtruth.txt"), align="sim3")
+    assert sim3["rmse"] <= stats["rmse"] + 1e-9
+    assert abs(sim3["scale"] - 1.0) < 0.05
