@@ -176,7 +176,10 @@ def main(argv=None) -> int:
     if args.export_final_timings:
         Timing.save(args.export_final_timings)
     if not args.quiet:
+        from badslam_tpu.utils.memory import format_memory_usage
+
         print(Timing.report())
+        print(format_memory_usage())  # PrintGPUMemoryUsage analog
     return 0
 
 

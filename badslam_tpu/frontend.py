@@ -48,6 +48,22 @@ class BadSlam:
         self.config = config
         self.video = video
         self.cam: PinholeCamera = video.camera
+
+        # Input pyramid level: process at a coarser resolution
+        # (pyramid_level_for_depth/color, bad_slam.cc:666-688). The single
+        # shared camera requires equal levels (the reference also FATALs on
+        # unsupported combinations, bad_slam.cc:306-309).
+        if config.pyramid_level_for_depth != config.pyramid_level_for_color:
+            raise NotImplementedError(
+                "pyramid_level_for_depth must equal pyramid_level_for_color")
+        self.input_level = config.pyramid_level_for_depth
+        if self.input_level > 0:
+            if getattr(video, "undistortion_map", None) is not None:
+                raise NotImplementedError(
+                    "input pyramid levels cannot be combined with "
+                    "undistortion (as in the reference, bad_slam.cc:306)")
+            self.cam = self.cam.scaled(0.5 ** self.input_level)
+
         self.direct_ba = DirectBA(self.cam, config, surfel_capacity)
 
         self.cams_pyramid = tuple(
@@ -101,10 +117,18 @@ class BadSlam:
                     and config.loop_detection_images_height > 0):
                 det_size = (config.loop_detection_images_width,
                             config.loop_detection_images_height)
+            # Detection-image frequency: explicit config value, else derived
+            # as fps_restriction / keyframe_interval (the reference's
+            # formula, bad_slam_config.h:371-372). DLoopDetector turns this
+            # into the recency exclusion window (dislocal = 20s * f).
+            freq = config.loop_detection_image_frequency
+            if freq <= 0 and config.keyframe_interval > 0:
+                freq = config.fps_restriction / float(config.keyframe_interval)
             self.loop_detector = LoopDetector(
                 cam=self.cam,
                 vocabulary_path=config.loop_detection_vocabulary_path,
                 images_size=det_size,
+                image_frequency=freq,
             )
             if config.parallel_loop_detection:
                 from badslam_tpu.loop.thread import LoopDetectionThread
@@ -161,6 +185,17 @@ class BadSlam:
         depth = jnp.array(
             depth_u16.astype(np.float32) * c.raw_to_float_depth
         )
+        if self.input_level > 0:
+            from badslam_tpu.ops.preprocess import (
+                downscale_color,
+                downscale_depth_median,
+            )
+
+            rgb_d = jnp.array(rgb)
+            for _ in range(self.input_level):
+                depth = downscale_depth_median(depth)
+                rgb_d = downscale_color(rgb_d)
+            rgb = rgb_d
         if c.median_filter_and_densify_iterations > 0:
             from badslam_tpu.ops.preprocess import median_filter_and_densify
 
@@ -266,11 +301,20 @@ class BadSlam:
         frames_processed = frame_index - c.start_frame
         if is_first or frames_processed % c.keyframe_interval == 0:
             # Memory-pressure guard: merge redundant keyframes when the
-            # store approaches its configured bound (bad_slam.cc:962-972).
-            # Freed slots are recycled by add_keyframe, so device capacity
-            # stays bounded by max_keyframe_count.
+            # store approaches its configured bound OR free HBM falls under
+            # min_free_gpu_memory_mb (cudaMemGetInfo analog via the PJRT
+            # allocator — a host query, not a device read;
+            # bad_slam.cc:962-972). Freed slots are recycled by
+            # add_keyframe, so device capacity stays bounded.
             ks = self.direct_ba.keyframes
-            if ks.live_count >= c.max_keyframe_count - 2:
+            low_memory = False
+            if c.min_free_gpu_memory_mb > 0 and ks.live_count > 4:
+                from badslam_tpu.utils.memory import free_device_memory_mb
+
+                free_mb = free_device_memory_mb()
+                low_memory = (free_mb is not None
+                              and free_mb < c.min_free_gpu_memory_mb)
+            if low_memory or ks.live_count >= c.max_keyframe_count - 2:
                 freed = ks.merge_redundant_keyframes(4)
                 for slot in freed:
                     if self._loop_thread is not None:
@@ -616,11 +660,18 @@ class BadSlam:
                 print(
                     f"frame {i}: {1.0 / max(dt, 1e-9):.1f} FPS", flush=True,
                 )
+            # EndFrame pacing (bad_slam.cc:453-483): fps_restriction caps
+            # playback at the given rate; target_frame_rate simulates the
+            # input sensor rate. Both sleep the remainder of the budget.
+            min_frame_time = 0.0
+            if c.fps_restriction > 0:
+                min_frame_time = 1.0 / c.fps_restriction
             if c.target_frame_rate > 0:
-                budget = 1.0 / c.target_frame_rate
+                min_frame_time = max(min_frame_time, 1.0 / c.target_frame_rate)
+            if min_frame_time > 0:
                 dt = time.perf_counter() - t0
-                if dt < budget:
-                    time.sleep(budget - dt)
+                if dt < min_frame_time:
+                    time.sleep(min_frame_time - dt)
         preload.stop()
         # Apply any loop closures still in flight on the detection thread.
         self._drain_loop_detections()

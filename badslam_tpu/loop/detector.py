@@ -93,6 +93,9 @@ class LoopDetector:
                                       # -> train on the fly from the sequence
     train_after: int = 8              # keyframes before on-the-fly training
     images_size: Optional[Tuple[int, int]] = None  # (w, h) detection resize
+    # Detection-image frequency [Hz]; > 0 derives the recency window as
+    # DLoopDetector does (dislocal = 20 s * f, TemplatedLoopDetector.h:562).
+    image_frequency: float = 0.0
 
     # Keyframe features keyed by SLOT id (slots are recycled after keyframe
     # merging, so ids are not temporal); `_order` tracks registration
@@ -105,6 +108,8 @@ class LoopDetector:
     _db: Optional[BowDatabase] = None
 
     def __post_init__(self):
+        if self.image_frequency > 0:
+            self.recent_window = max(1, int(round(20.0 * self.image_frequency)))
         if self.vocabulary_path:
             self._vocab = BinaryVocabulary.load(self.vocabulary_path)
             self._db = BowDatabase(self._vocab)

@@ -6,9 +6,11 @@ VertexSE3 per keyframe, an odometry EdgeSE3 chain from the current
 estimates plus the loop-closure edges, identity information matrices,
 vertex 0 fixed, Gauss-Newton (reference: 20 iterations, CSparse).
 
-The graph is small (hundreds of keyframes), so a dense 6Kx6K Cholesky on
-the host is the right tool — no device involvement at all (the reference
-likewise runs g2o on the CPU).
+Like the reference's CSparse backend (pose_graph_optimizer.cc:104-110),
+the normal equations are assembled as a SPARSE block system — the graph is
+a chain plus a few loop edges, so H has O(K) nonzero 6x6 blocks — and
+solved with scipy's sparse LU after eliminating the fixed vertex (gauge).
+No device involvement at all (the reference likewise runs g2o on the CPU).
 
 Edge residual: r = log( Z^{-1} * Xi^{-1} * Xj )  for measurement Z =
 Xi^{-1} Xj (relative pose i->j), with Jacobians approximated at identity
@@ -60,40 +62,62 @@ def optimize_pose_graph(
     if n == 0:
         return poses
 
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import spsolve
+
+    # Variable layout: the fixed vertex is eliminated from the system
+    # (delta_fixed = 0), the remaining vertices pack densely.
+    var = np.full(n, -1, np.int64)
+    var[np.arange(n) != fixed] = np.arange(n - 1)
+    m = 6 * (n - 1)
+    if m == 0:
+        return poses
+    # Index template for scattering one 6x6 block into COO arrays.
+    br, bc = np.mgrid[0:6, 0:6]
+
     for _ in range(iterations):
-        H = np.zeros((6 * n, 6 * n))
-        b = np.zeros(6 * n)
-        total_err = 0.0
+        rows: List[np.ndarray] = []
+        cols: List[np.ndarray] = []
+        data: List[np.ndarray] = []
+        b = np.zeros(m)
         for e in edges:
             xi, xj = poses[e.i], poses[e.j]
             # r = log(Z^-1 Xi^-1 Xj)
             rel = s3.mul(s3.inverse(xi), xj)
             err_pose = s3.mul(s3.inverse(e.measurement), rel)
             r = s3.log(err_pose)
-            total_err += float(r @ r)
             # d r / d dj ≈ I (right-perturbation of Xj), d r / d di ≈ -Adj(rel^-1)
             Jj = np.eye(6)
             Ji = -_adjoint(s3.inverse(rel))
             w = e.weight
             for (a, Ja) in ((e.i, Ji), (e.j, Jj)):
+                if var[a] < 0:
+                    continue
                 for (c, Jc) in ((e.i, Ji), (e.j, Jj)):
-                    H[6 * a:6 * a + 6, 6 * c:6 * c + 6] += w * Ja.T @ Jc
-                b[6 * a:6 * a + 6] += w * Ja.T @ r
-        # Gauge fix.
-        H[6 * fixed:6 * fixed + 6, :] = 0
-        H[:, 6 * fixed:6 * fixed + 6] = 0
-        H[6 * fixed:6 * fixed + 6, 6 * fixed:6 * fixed + 6] = np.eye(6)
-        b[6 * fixed:6 * fixed + 6] = 0
-        H[np.diag_indices_from(H)] += damping
+                    if var[c] < 0:
+                        continue
+                    rows.append(6 * var[a] + br.ravel())
+                    cols.append(6 * var[c] + bc.ravel())
+                    data.append((w * Ja.T @ Jc).ravel())
+                b[6 * var[a]:6 * var[a] + 6] += w * Ja.T @ r
+        if not rows:
+            break
+        H = sp.coo_matrix(
+            (np.concatenate(data),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(m, m),
+        ).tocsc() + damping * sp.eye(m, format="csc")
 
         try:
-            delta = np.linalg.solve(H, -b)
-        except np.linalg.LinAlgError:
+            delta = spsolve(H, -b)
+        except RuntimeError:
             break
         if not np.all(np.isfinite(delta)):
             break
         for v in range(n):
-            poses[v] = s3.mul(poses[v], s3.exp(delta[6 * v:6 * v + 6]))
+            if var[v] >= 0:
+                poses[v] = s3.mul(
+                    poses[v], s3.exp(delta[6 * var[v]:6 * var[v] + 6]))
         if np.linalg.norm(delta) < 1e-10:
             break
     return poses

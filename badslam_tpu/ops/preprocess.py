@@ -382,6 +382,39 @@ def median_filter_and_densify(depth: jax.Array) -> jax.Array:
     return jnp.where(count >= 2, median, depth)
 
 
+@jax.jit
+def downscale_depth_median(depth: jax.Array) -> jax.Array:
+    """Half-resolution depth: median of the valid (non-zero) samples in each
+    2x2 block (DownscaleUsingMedianWhileExcluding(0) analog, used when
+    pyramid_level_for_depth > 0, bad_slam.cc:668-677). For an even valid
+    count the lower-middle sample is taken (an actual measurement, never an
+    invented average across a depth discontinuity)."""
+    h, w = depth.shape
+    d4 = (depth[: (h // 2) * 2, : (w // 2) * 2]
+          .reshape(h // 2, 2, w // 2, 2).transpose(0, 2, 1, 3)
+          .reshape(h // 2, w // 2, 4))
+    valid = d4 > 0
+    count = jnp.sum(valid, axis=-1)
+    s = jnp.sort(jnp.where(valid, d4, jnp.inf), axis=-1)
+    mid = jnp.maximum((count + 1) // 2 - 1, 0)
+    med = jnp.take_along_axis(s, mid[..., None], axis=-1)[..., 0]
+    return jnp.where(count > 0, med, 0.0)
+
+
+@jax.jit
+def downscale_color(rgb: jax.Array) -> jax.Array:
+    """Half-resolution color: 2x2 average (the reference's ImagePyramid
+    path for pyramid_level_for_color > 0, bad_slam.cc:680-688)."""
+    h, w = rgb.shape[:2]
+    r4 = (rgb[: (h // 2) * 2, : (w // 2) * 2]
+          .astype(jnp.float32)
+          .reshape(h // 2, 2, w // 2, 2, -1).transpose(0, 2, 1, 3, 4)
+          .reshape(h // 2, w // 2, 4, -1))
+    out = jnp.mean(r4, axis=-2) + 0.5
+    return out.astype(rgb.dtype) if rgb.dtype == jnp.uint8 \
+        else (out - 0.5).astype(rgb.dtype)
+
+
 def create_undistortion_map(
     distort_fn, undistorted_cam: PinholeCamera, height: int, width: int
 ):

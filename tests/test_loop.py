@@ -91,6 +91,35 @@ def test_pose_graph_closes_drifted_loop():
     assert drift_after < 0.3 * drift_before, (drift_before, drift_after)
 
 
+def test_pose_graph_scales_sparsely():
+    """A 400-vertex chain + one loop edge optimizes in seconds: the normal
+    equations are assembled sparse (the dense 6Kx6K build was quadratic;
+    the reference uses CSparse, pose_graph_optimizer.cc:104-110)."""
+    import time
+
+    n = 400
+    gt = [s3.identity()]
+    for i in range(1, n):
+        gt.append(s3.mul(gt[-1], s3.exp(np.array([0.05, 0, 0, 0, 0.015, 0]))))
+    est = [s3.identity()]
+    for i in range(1, n):
+        odo = s3.mul(s3.inverse(gt[i - 1]), gt[i])
+        noisy = s3.mul(odo, s3.exp(np.array([0.001, 0.0004, 0, 0, 4e-4, 0])))
+        est.append(s3.mul(est[-1], noisy))
+    edges = odometry_chain_edges(est)
+    edges.append(PoseGraphEdge(0, n - 1,
+                               s3.mul(s3.inverse(gt[0]), gt[-1])))
+    drift_before = np.linalg.norm(s3.log(s3.mul(s3.inverse(est[-1]),
+                                                gt[-1])))
+    t0 = time.perf_counter()
+    opt = optimize_pose_graph(est, edges, fixed=0, iterations=15)
+    elapsed = time.perf_counter() - t0
+    drift_after = np.linalg.norm(s3.log(s3.mul(s3.inverse(opt[-1]),
+                                               gt[-1])))
+    assert drift_after < 0.3 * drift_before
+    assert elapsed < 20.0, elapsed
+
+
 def test_trajectory_deformation_interpolates():
     # Frames 0..10; keyframes at 0, 5, 10. Keyframe 5 and 10 shift by +x.
     frames = [s3.SE3(np.array([1.0, 0, 0, 0]), np.array([float(i), 0, 0]))
