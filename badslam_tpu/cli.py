@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--final_ba_window_size", type=int, default=16)
     p.add_argument("--final_ba_window_stride", type=int, default=8)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--autotune", action="store_true",
+                   help="tune kernel parameters for this dataset's image "
+                        "size before running (persisted; one-time cost)")
     p.add_argument("--profile", default=None,
                    help="capture a JAX profiler trace of the run into this "
                         "directory (view with xprof/tensorboard)")
@@ -120,6 +123,13 @@ def main(argv=None) -> int:
         profiler_cm = True
 
     video = load_tum_dataset(args.dataset, args.trajectory_filename)
+    if args.autotune:
+        from badslam_tpu.ops.pallas_kernels import autotune_preprocess
+
+        lvl = 2 ** config.pyramid_level_for_depth
+        autotune_preprocess(video.camera.height // lvl,
+                            video.camera.width // lvl,
+                            max_depth=config.max_depth)
     if args.load_state:
         from badslam_tpu.io.state import load_state
 

@@ -29,28 +29,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TUNING_PATH = os.path.expanduser(
-    "~/.cache/badslam_tpu/auto_tuning_result.json")
+from badslam_tpu.ops import autotune as tuner
+
 _DEFAULT_BLOCK_H = 64
 
 
-def _load_tuning() -> dict:
-    try:
-        with open(_TUNING_PATH) as f:
-            return json.load(f)
-    except Exception:
-        return {}
-
-
-def _save_tuning(d: dict) -> None:
-    os.makedirs(os.path.dirname(_TUNING_PATH), exist_ok=True)
-    with open(_TUNING_PATH, "w") as f:
-        json.dump(d, f, indent=2)
-
-
 def tuned_block_height(h: int, w: int) -> int:
-    key = f"bilateral_{h}x{w}"
-    return int(_load_tuning().get(key, _DEFAULT_BLOCK_H))
+    key = tuner.backend_key(f"bilateral_{h}x{w}")
+    v = tuner.get(key)
+    if v is None:  # round-1 entries were unscoped
+        v = tuner.get(f"bilateral_{h}x{w}", _DEFAULT_BLOCK_H)
+    return int(v)
+
+
+def tuned_bilateral_impl(h: int, w: int) -> Optional[bool]:
+    """Persisted Pallas-vs-XLA choice for the bilateral filter at this
+    shape, or None if never tuned (True = Pallas)."""
+    v = tuner.get(tuner.backend_key(f"bilateral_impl_{h}x{w}"))
+    if v is None:
+        return None
+    return v == "pallas"
 
 
 def _bilateral_kernel(depth_ref, out_ref, *, radius: int, block_h: int,
@@ -159,27 +157,48 @@ def autotune_block_height(
 
     depth = jnp.array(
         np.random.default_rng(0).uniform(0.5, 3.0, (h, w)).astype(np.float32))
-    best, best_t = None, float("inf")
-    for bh in candidates:
-        if bh > h:
-            continue
-        try:
-            f = functools.partial(
-                bilateral_filter_and_cutoff_pallas,
+    best = tuner.autotune(
+        f"bilateral_{h}x{w}",
+        {
+            str(bh): functools.partial(
+                bilateral_filter_and_cutoff_pallas, depth,
                 max_depth=max_depth, block_h=bh)
-            r = f(depth)
-            jax.block_until_ready(r)
-            t0 = time.perf_counter()
-            for _ in range(iterations):
-                r = f(depth)
-            jax.block_until_ready(r)
-            dt = (time.perf_counter() - t0) / iterations
-        except Exception:
-            continue
-        if dt < best_t:
-            best, best_t = bh, dt
-    if best is not None:
-        tuning = _load_tuning()
-        tuning[f"bilateral_{h}x{w}"] = best
-        _save_tuning(tuning)
-    return best or _DEFAULT_BLOCK_H
+            for bh in candidates if bh <= h
+        },
+        iterations=iterations,
+    )
+    return int(best) if best is not None else _DEFAULT_BLOCK_H
+
+
+def autotune_bilateral_impl(
+    h: int, w: int, max_depth: float = 20.0, iterations: int = 10,
+) -> Optional[bool]:
+    """Pallas (with the tuned block height) vs the XLA-fused fallback for
+    this shape on the current device; persists the winner. Returns True
+    for Pallas (implementation-selection analog of the reference tuning
+    every kernel launch)."""
+    import numpy as np
+
+    from badslam_tpu.ops.preprocess import bilateral_filter_and_cutoff
+
+    depth = jnp.array(
+        np.random.default_rng(0).uniform(0.5, 3.0, (h, w)).astype(np.float32))
+    best = tuner.autotune(
+        f"bilateral_impl_{h}x{w}",
+        {
+            "pallas": functools.partial(
+                bilateral_filter_and_cutoff_pallas, depth,
+                max_depth=max_depth),
+            "xla": functools.partial(
+                bilateral_filter_and_cutoff, depth, max_depth),
+        },
+        iterations=iterations,
+    )
+    return None if best is None else best == "pallas"
+
+
+def autotune_preprocess(h: int, w: int, max_depth: float = 20.0) -> None:
+    """Tune every preprocessing decision for one image shape: the Pallas
+    block height, then the Pallas-vs-XLA choice."""
+    autotune_block_height(h, w, max_depth=max_depth)
+    autotune_bilateral_impl(h, w, max_depth=max_depth)

@@ -318,7 +318,13 @@ def preprocess_frame(
         rgb = undistort_image(rgb.astype(jnp.float32), undistort_map)
     intensity = compute_brightness(rgb) if rgb.ndim == 3 else rgb
     if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu"
+        # Persisted autotune decision for this shape when available
+        # (ops.autotune; trace-time host lookup), else the backend default.
+        from badslam_tpu.ops.pallas_kernels import tuned_bilateral_impl
+
+        use_pallas = tuned_bilateral_impl(*depth_metric.shape)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() != "cpu"
     if use_pallas:
         from badslam_tpu.ops.pallas_kernels import (
             bilateral_filter_and_cutoff_pallas,
