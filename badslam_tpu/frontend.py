@@ -647,6 +647,10 @@ class BadSlam:
 
         preload = PreLoadThread(self.video)
         for i in range(start, end):
+            if self.live_viewer is not None:
+                # Run/pause/step from the live viewer's /control endpoint
+                # (the reference GUI's stepping, gui_main_window.cc).
+                self.live_viewer.wait_if_paused()
             t0 = time.perf_counter()
             preload.wait_until_done()
             if i + 1 < end:

@@ -1,20 +1,24 @@
 """Standalone WebGL map viewer (the 3D render window's TPU-era analog).
 
 The reference renders surfel splats, keyframe frustums, and trajectories
-live through a CUDA-GL interop VBO
-(/root/reference/applications/badslam/src/badslam/render_window.h:71-178).
-There is no GL interop on TPU and visualization must not sit on the
-compute path (PERF_NOTES.md), so the viewer is DECOUPLED, with two modes:
+live through a CUDA-GL interop VBO, with keyframe selection and run/pause
+stepping from the GUI
+(/root/reference/applications/badslam/src/badslam/render_window.h:71-178,
+gui_main_window.cc). There is no GL interop on TPU and visualization must
+not sit on the compute path (PERF_NOTES.md), so the viewer is DECOUPLED,
+with two modes:
 
   * one-shot: the map state is exported once into a single self-contained
-    HTML file — raw WebGL point splats, trajectory polyline, keyframe
-    frustums, orbit/zoom controls, no external assets or network access.
+    HTML file — shaded surfel splats (size from the surfel radius, shading
+    from the normal), trajectory polyline, keyframe frustums with
+    click-to-inspect picking, orbit/zoom controls, no external assets.
   * live (opt-in): the same HTML shell in polling mode + a `LiveViewer`
     that re-exports a map snapshot every N keyframes and serves the
     directory over a local HTTP port, so the browser view updates DURING
-    the run (the reference's live render window analog). Each snapshot
-    reads device state — a sync point — so this is off by default and
-    must never be enabled for benchmarking.
+    the run; Run/Pause/Step buttons drive the frame loop through a
+    /control endpoint (the reference GUI's run/pause/step analog). Each
+    snapshot reads device state — a sync point — so this is off by
+    default and must never be enabled for benchmarking.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ import base64
 import json
 import os
 import threading
+import time
 
 import numpy as np
 
@@ -31,11 +36,21 @@ _HTML = """<!DOCTYPE html>
 <style>
  body { margin:0; background:#111; color:#ccc; font:12px monospace; overflow:hidden }
  #hud { position:absolute; top:8px; left:8px; z-index:2; user-select:none }
+ #pick { position:absolute; bottom:8px; left:8px; z-index:2; color:#fb3 }
+ button { background:#222; color:#ccc; border:1px solid #555; margin-right:4px;
+          font:12px monospace; cursor:pointer }
  canvas { display:block }
 </style></head>
 <body>
-<div id="hud">badslam_tpu viewer — drag: orbit, wheel: zoom, shift-drag: pan<br>
- points: <span id="np"></span> · keyframes: <span id="nk"></span> · frames: <span id="nf"></span> <span id="live"></span></div>
+<div id="hud">badslam_tpu viewer — drag: orbit · wheel: zoom · shift-drag: pan · click: pick keyframe<br>
+ points: <span id="np"></span> · keyframes: <span id="nk"></span> · frames: <span id="nf"></span> <span id="live"></span><br>
+ <span id="ctl" style="display:none">
+  <button onclick="control('pause')">pause</button>
+  <button onclick="control('step')">step</button>
+  <button onclick="control('resume')">run</button>
+  <span id="state"></span>
+ </span></div>
+<div id="pick"></div>
 <canvas id="c"></canvas>
 <script>
 const POLL_MS = __POLL_MS__;
@@ -48,11 +63,25 @@ function decode(b64, dtype) {
 
 const canvas = document.getElementById('c');
 const gl = canvas.getContext('webgl');
-const VS = `attribute vec3 p; attribute vec3 c; uniform mat4 mvp;
- uniform float ps; varying vec3 vc;
- void main(){ gl_Position = mvp*vec4(p,1.0); gl_PointSize = ps; vc = c; }`;
-const FS = `precision mediump float; varying vec3 vc;
- void main(){ gl_FragColor = vec4(vc,1.0); }`;
+// Splat shader: point size from the surfel radius projected to pixels,
+// circular mask + normal shading in the fragment (render_window.cc splat
+// rendering analog).
+const VS = `attribute vec3 p; attribute vec3 c; attribute vec3 n; attribute float r;
+ uniform mat4 mvp; uniform float focalpx; uniform float ps; varying vec3 vc; varying vec3 vn;
+ void main(){
+   gl_Position = mvp*vec4(p,1.0);
+   float z = max(gl_Position.w, 1e-3);
+   gl_PointSize = (ps > 0.0) ? ps : clamp(2.0 * r * focalpx / z, 1.5, 24.0);
+   vc = c; vn = n; }`;
+const FS = `precision mediump float; varying vec3 vc; varying vec3 vn;
+ uniform float splat;
+ void main(){
+   if (splat > 0.5) {
+     vec2 d = gl_PointCoord - vec2(0.5);
+     if (dot(d, d) > 0.25) discard;
+     float shade = 0.55 + 0.45 * abs(vn.z);
+     gl_FragColor = vec4(vc * shade, 1.0);
+   } else { gl_FragColor = vec4(vc, 1.0); } }`;
 function shader(type, src){ const s = gl.createShader(type);
  gl.shaderSource(s, src); gl.compileShader(s); return s; }
 const prog = gl.createProgram();
@@ -61,26 +90,35 @@ gl.attachShader(prog, shader(gl.FRAGMENT_SHADER, FS));
 gl.linkProgram(prog); gl.useProgram(prog);
 const locP = gl.getAttribLocation(prog, 'p');
 const locC = gl.getAttribLocation(prog, 'c');
+const locN = gl.getAttribLocation(prog, 'n');
+const locR = gl.getAttribLocation(prog, 'r');
 const locM = gl.getUniformLocation(prog, 'mvp');
 const locS = gl.getUniformLocation(prog, 'ps');
+const locF = gl.getUniformLocation(prog, 'focalpx');
+const locSplat = gl.getUniformLocation(prog, 'splat');
 
 function makeBuf(arr){ const b = gl.createBuffer();
  gl.bindBuffer(gl.ARRAY_BUFFER, b);
  gl.bufferData(gl.ARRAY_BUFFER, arr, gl.DYNAMIC_DRAW); return b; }
 
-let posBuf=null, colBuf=null, trajBuf=null, kfBuf=null;
+let posBuf=null, colBuf=null, nrmBuf=null, radBuf=null, trajBuf=null, kfBuf=null;
 let nPos=0, nTraj=0, nKf=0;
+let kfPos=null, kfIds=null, picked=-1;
 let cx=0, cy=0, cz=0, haveCenter=false;
 
 function setData(DATA){
   const pos = decode(DATA.pos, 'f32'), col = decode(DATA.col, 'u8');
+  const nrm = decode(DATA.nrm, 'f32'), rad = decode(DATA.rad, 'f32');
   const traj = decode(DATA.traj, 'f32'), kf = decode(DATA.kf, 'f32');
+  kfPos = decode(DATA.kf_pos, 'f32');
+  kfIds = JSON.parse(atob(DATA.kf_ids));
   document.getElementById('np').textContent = pos.length / 3;
   document.getElementById('nk').textContent = DATA.kf_count;
   document.getElementById('nf').textContent = traj.length / 3;
   const colF = new Float32Array(col.length);
   for (let i = 0; i < col.length; i++) colF[i] = col[i] / 255.0;
   posBuf = makeBuf(pos); colBuf = makeBuf(colF);
+  nrmBuf = makeBuf(nrm); radBuf = makeBuf(rad);
   trajBuf = makeBuf(traj); kfBuf = makeBuf(kf);
   nPos = pos.length/3; nTraj = traj.length/3; nKf = kf.length/3;
   if (!haveCenter && nPos > 0){
@@ -91,15 +129,38 @@ function setData(DATA){
 }
 
 let yaw=0.6, pitch=0.4, dist=4.0, panX=0, panY=0;
-let drag=null;
-canvas.onmousedown = e => drag = {x:e.clientX, y:e.clientY, shift:e.shiftKey};
-window.onmouseup = () => drag = null;
+let drag=null, moved=false;
+canvas.onmousedown = e => { drag = {x:e.clientX, y:e.clientY, shift:e.shiftKey}; moved=false; };
+window.onmouseup = e => {
+  if (drag && !moved) pick(e.clientX, e.clientY);
+  drag = null; };
 window.onmousemove = e => { if(!drag) return;
  const dx=e.clientX-drag.x, dy=e.clientY-drag.y;
+ if (Math.abs(dx)+Math.abs(dy) > 2) moved=true;
  if (drag.shift){ panX -= dx*0.002*dist; panY += dy*0.002*dist; }
  else { yaw += dx*0.005; pitch += dy*0.005; }
  drag.x=e.clientX; drag.y=e.clientY; };
 canvas.onwheel = e => { dist *= Math.exp(e.deltaY*0.001); e.preventDefault(); };
+
+let lastM = null;
+function pick(mx, my){
+  if (!kfPos || !lastM) return;
+  const w = canvas.width, h = canvas.height;
+  let best = -1, bestD = 18*18;
+  for (let k = 0; k < kfPos.length/3; k++){
+    const x = kfPos[3*k], y = kfPos[3*k+1], z = kfPos[3*k+2];
+    const cw = lastM[3]*x + lastM[7]*y + lastM[11]*z + lastM[15];
+    if (cw <= 0) continue;
+    const sx = (lastM[0]*x + lastM[4]*y + lastM[8]*z + lastM[12]) / cw;
+    const sy = (lastM[1]*x + lastM[5]*y + lastM[9]*z + lastM[13]) / cw;
+    const px = (sx * 0.5 + 0.5) * w, py = (-sy * 0.5 + 0.5) * h;
+    const d = (px-mx)*(px-mx) + (py-my)*(py-my);
+    if (d < bestD){ bestD = d; best = k; }
+  }
+  picked = best;
+  document.getElementById('pick').textContent =
+    best < 0 ? '' : 'keyframe slot ' + kfIds[best][0] + ' · dataset frame ' + kfIds[best][1];
+}
 
 function mat(){
  const w = canvas.width = innerWidth, h = canvas.height = innerHeight;
@@ -120,10 +181,12 @@ function mat(){
  const M = new Float32Array(16);
  for (let r=0;r<4;r++) for (let c2=0;c2<4;c2++){ let s=0;
    for(let k=0;k<4;k++) s += P[k*4+r]*V[c2*4+k]; M[c2*4+r]=s; }
+ lastM = M;
+ gl.uniform1f(locF, 0.5 * h * f);
  return M;
 }
 
-function draw(buf, colbuf, mode, count, size, color){
+function draw(buf, colbuf, mode, count, size, color, splat, nrmbuf, radbuf, first){
  if (!buf || count === 0) return;
  gl.bindBuffer(gl.ARRAY_BUFFER, buf);
  gl.enableVertexAttribArray(locP);
@@ -133,8 +196,17 @@ function draw(buf, colbuf, mode, count, size, color){
    gl.vertexAttribPointer(locC, 3, gl.FLOAT, false, 0, 0); }
  else { gl.disableVertexAttribArray(locC);
    gl.vertexAttrib3f(locC, color[0], color[1], color[2]); }
+ if (nrmbuf){ gl.bindBuffer(gl.ARRAY_BUFFER, nrmbuf);
+   gl.enableVertexAttribArray(locN);
+   gl.vertexAttribPointer(locN, 3, gl.FLOAT, false, 0, 0); }
+ else { gl.disableVertexAttribArray(locN); gl.vertexAttrib3f(locN, 0, 0, 1); }
+ if (radbuf){ gl.bindBuffer(gl.ARRAY_BUFFER, radbuf);
+   gl.enableVertexAttribArray(locR);
+   gl.vertexAttribPointer(locR, 1, gl.FLOAT, false, 0, 0); }
+ else { gl.disableVertexAttribArray(locR); gl.vertexAttrib1f(locR, 0); }
  gl.uniform1f(locS, size);
- gl.drawArrays(mode, 0, count);
+ gl.uniform1f(locSplat, splat ? 1.0 : 0.0);
+ gl.drawArrays(mode, first || 0, count);
 }
 
 function frame(){
@@ -142,15 +214,27 @@ function frame(){
  gl.clearColor(0.07,0.07,0.09,1); gl.enable(gl.DEPTH_TEST);
  gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
  gl.uniformMatrix4fv(locM, false, M);
- draw(posBuf, colBuf, gl.POINTS, nPos, 2.0);
- draw(trajBuf, null, gl.LINE_STRIP, nTraj, 1.0, [0.2,0.9,0.3]);
- draw(kfBuf, null, gl.LINES, nKf, 1.0, [0.95,0.6,0.1]);
+ draw(posBuf, colBuf, gl.POINTS, nPos, 0.0, null, true, nrmBuf, radBuf);
+ draw(trajBuf, null, gl.LINE_STRIP, nTraj, 1.0, [0.2,0.9,0.3], false);
+ draw(kfBuf, null, gl.LINES, nKf, 1.0, [0.95,0.6,0.1], false);
+ if (picked >= 0 && nKf >= (picked+1)*16)
+   // each frustum contributes 16 contiguous line vertices
+   draw(kfBuf, null, gl.LINES, 16, 1.0, [1.0,0.2,0.2], false, null, null,
+        picked*16);
  requestAnimationFrame(frame);
+}
+
+async function control(cmd){
+  try {
+    const r = await fetch('control?cmd=' + cmd, {cache: 'no-store'});
+    document.getElementById('state').textContent = await r.text();
+  } catch (e) {}
 }
 
 const INLINE = __DATA__;
 if (INLINE) setData(INLINE);
 if (POLL_MS > 0){
+  document.getElementById('ctl').style.display = 'inline';
   let gen = -1;
   async function poll(){
     try {
@@ -196,25 +280,32 @@ def _snapshot_dict(slam, max_points: int = 400_000,
     """Map + trajectory + frustums as a base64 JSON-able dict.
     READS DEVICE STATE — export/snapshot boundaries only."""
     pos, nrm, col = slam.direct_ba.export_point_cloud()
+    rad = np.sqrt(np.maximum(
+        np.asarray(slam.direct_ba.surfels.radius2)[
+            np.asarray(slam.direct_ba.surfels.valid)], 0.0))
     if len(pos) > max_points:
         sel = np.random.default_rng(0).choice(
             len(pos), max_points, replace=False)
-        pos, col = pos[sel], col[sel]
+        pos, nrm, col, rad = pos[sel], nrm[sel], col[sel], rad[sel]
 
     traj = np.stack([
         np.asarray(p.t, np.float32) for p in slam.frame_poses if p is not None
     ]) if any(p is not None for p in slam.frame_poses) else np.zeros((0, 3))
 
     ks = slam.direct_ba.keyframes
-    kf_lines = []
+    kf_lines, kf_pos, kf_ids = [], [], []
     q_np = np.asarray(ks.q) if ks.q is not None else np.zeros((0, 4))
     t_np = np.asarray(ks.t) if ks.t is not None else np.zeros((0, 3))
     valid = np.asarray(ks.valid) if ks.valid is not None else np.zeros(0, bool)
     for i in range(ks.count):
         if valid[i]:
             kf_lines.append(_frustum_lines(q_np[i], t_np[i], slam.cam))
+            kf_pos.append(t_np[i])
+            kf_ids.append([int(i), int(ks.frame_indices[i])])
     kf = (np.concatenate(kf_lines) if kf_lines
           else np.zeros((0, 3))).astype(np.float32)
+    kf_pos = (np.stack(kf_pos) if kf_pos
+              else np.zeros((0, 3))).astype(np.float32)
 
     def b64(arr, dtype):
         return base64.b64encode(
@@ -223,9 +314,13 @@ def _snapshot_dict(slam, max_points: int = 400_000,
     return dict(
         pos=b64(pos, np.float32),
         col=b64(np.clip(col, 0, 255), np.uint8),
+        nrm=b64(nrm, np.float32),
+        rad=b64(rad, np.float32),
         traj=b64(traj, np.float32),
         kf=b64(kf, np.float32),
-        kf_count=int(valid[: ks.count].sum()) if ks.count else 0,
+        kf_pos=b64(kf_pos, np.float32),
+        kf_ids=base64.b64encode(json.dumps(kf_ids).encode()).decode(),
+        kf_count=len(kf_ids),
         generation=generation,
     )
 
@@ -246,7 +341,9 @@ class LiveViewer:
     The reference's render window updates continuously from the BA thread
     (render_window.cc); here the host exports a snapshot every
     `interval` keyframes into `directory/map_data.json` and the polling
-    HTML shell (directory/index.html) re-uploads the buffers. Every
+    HTML shell (directory/index.html) re-uploads the buffers. Run/Pause/
+    Step buttons drive the SLAM frame loop via /control (the GUI's
+    stepping analog — frontend.run polls `wait_if_paused`). Every
     snapshot is a device read + sync — keep `interval` coarse and never
     enable this while benchmarking (PERF_NOTES.md)."""
 
@@ -256,6 +353,8 @@ class LiveViewer:
         self.interval = max(1, interval)
         self.max_points = max_points
         self.generation = 0
+        self.paused = False
+        self._step = threading.Event()
         self._keyframes_seen = 0
         self._server = None
         self.port = None
@@ -270,16 +369,54 @@ class LiveViewer:
         import http.server
         from functools import partial
 
-        class _QuietHandler(http.server.SimpleHTTPRequestHandler):
+        viewer = self
+
+        class _Handler(http.server.SimpleHTTPRequestHandler):
             def log_message(self, *args):  # no per-request stdout noise
                 pass
 
+            def do_GET(self):
+                if self.path.startswith("/control"):
+                    cmd = self.path.split("cmd=")[-1]
+                    state = viewer.control(cmd)
+                    body = state.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                super().do_GET()
+
         self._server = http.server.ThreadingHTTPServer(
             ("127.0.0.1", port),
-            partial(_QuietHandler, directory=self.directory))
+            partial(_Handler, directory=self.directory))
         self.port = self._server.server_address[1]
         t = threading.Thread(target=self._server.serve_forever, daemon=True)
         t.start()
+
+    # -- run/pause/step (GUI stepping analog) --------------------------
+
+    def control(self, cmd: str) -> str:
+        if cmd == "pause":
+            self.paused = True
+        elif cmd == "resume":
+            self.paused = False
+            self._step.set()
+        elif cmd == "step":
+            self.paused = True
+            self._step.set()
+        return "paused" if self.paused else "running"
+
+    def wait_if_paused(self) -> None:
+        """Called by frontend.run before each frame: blocks while paused;
+        a 'step' releases exactly one frame."""
+        while self.paused:
+            if self._step.wait(timeout=0.05):
+                self._step.clear()
+                return
+
+    # -- snapshots ------------------------------------------------------
 
     def on_keyframe(self, slam) -> None:
         """Frontend hook: snapshot every `interval`-th keyframe."""

@@ -120,5 +120,40 @@ def test_live_viewer_snapshot_and_http(tmp_path):
         body = urllib.request.urlopen(
             f"http://127.0.0.1:{live.port}/map_data.json", timeout=10).read()
         assert json.loads(body)["generation"] == data["generation"]
+        # Control endpoint: pause/resume round-trip (GUI stepping analog).
+        state = urllib.request.urlopen(
+            f"http://127.0.0.1:{live.port}/control?cmd=pause",
+            timeout=10).read()
+        assert state == b"paused" and live.paused
+        state = urllib.request.urlopen(
+            f"http://127.0.0.1:{live.port}/control?cmd=resume",
+            timeout=10).read()
+        assert state == b"running" and not live.paused
     finally:
         live.close()
+
+
+def test_live_viewer_step_releases_one_frame():
+    from badslam_tpu.viz.viewer import LiveViewer
+
+    import threading
+    import time as _time
+
+    lv = LiveViewer.__new__(LiveViewer)  # no server/files needed
+    lv.paused = True
+    lv._step = threading.Event()
+    released = []
+
+    def worker():
+        lv.wait_if_paused()
+        released.append(1)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    _time.sleep(0.15)
+    assert not released  # blocked while paused
+    lv.control("step")
+    t.join(timeout=5)
+    assert released and lv.paused  # one frame released, still paused
+    lv.control("resume")
+    lv.wait_if_paused()  # returns immediately when running
