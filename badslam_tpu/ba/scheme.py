@@ -48,6 +48,13 @@ ACTIVE = kfs.ACTIVE
 INACTIVE = kfs.INACTIVE
 
 
+def _backend_tolerates_readbacks() -> bool:
+    """False on the axon TPU relay, where ONE device->host value read
+    permanently degrades the session to per-kernel sync (~1000x,
+    PERF_NOTES.md). All opt-in sync paths must check this."""
+    return jax.default_backend() != "axon"
+
+
 @jax.jit
 def _begin_iteration_masks(valid, activation, last_active, last_covis,
                            ba_iter):
@@ -96,9 +103,11 @@ class DirectBA:
         )
         self.intrinsics_updated = False
         # Host-side upper bound on the surfel count ("surfels_size_" analog,
-        # kernels.cuh:69-93): grown pessimistically on creation, resynced
-        # from the device once per BA call when sync_surfel_bucket is on.
+        # kernels.cuh:69-93): grown pessimistically on creation (once per
+        # BA epoch), resynced from the device once per BA call when
+        # sync_surfel_bucket is on AND the backend tolerates readbacks.
         self.known_surfel_bound = 0
+        self._bound_epoch = -1
 
     # ------------------------------------------------------------------
     # Keyframe management
@@ -248,9 +257,14 @@ class DirectBA:
             return 0
 
         # --- high-water working slice of the surfel map ---
-        # Each valid keyframe creates surfels at most once per call
-        # (last_active_iter bookkeeping), so this bound is safe.
-        self.known_surfel_bound += ks.count * self._cells_per_keyframe()
+        # Each valid keyframe creates surfels at most once per BA EPOCH
+        # (last_active_iter is compared against ba_iteration_count), so the
+        # pessimistic bound grows once per epoch — not per call. The
+        # parallel-BA mode drains several calls per epoch; growing per call
+        # blew the bound to full capacity within a few keyframes.
+        if self._bound_epoch != self.ba_iteration_count:
+            self.known_surfel_bound += ks.count * self._cells_per_keyframe()
+            self._bound_epoch = self.ba_iteration_count
         bucket = self._bucket_size(self.known_surfel_bound)
         full_map = self.surfels
         if bucket < full_map.capacity:
@@ -345,7 +359,8 @@ class DirectBA:
                     )
 
             if convergence_check is None:
-                convergence_check = c.sync_convergence_checks
+                convergence_check = (c.sync_convergence_checks
+                                     and _backend_tolerates_readbacks())
             if (convergence_check and iterations_done >= max(1, min_iterations)
                     and optimize_poses
                     and int(jnp.sum(ks.active_mask(False))) == 0):
@@ -372,10 +387,14 @@ class DirectBA:
                 active=full_map.active.at[:bucket].set(view.active),
                 count=view.count,
             )
-        if c.sync_surfel_bucket and increase_ba_iteration_count:
+        if (c.sync_surfel_bucket and increase_ba_iteration_count
+                and _backend_tolerates_readbacks()):
             # One scalar read per BA call ("surfels_size_" resync). Only
             # after scheme-end compaction: valid surfels are then packed
             # into the [0, count) prefix, so the bound may shrink safely.
+            # NEVER on the axon relay: a single readback permanently
+            # degrades the session ~1000x (PERF_NOTES.md) — there the
+            # pessimistic per-epoch bound is used instead.
             self.known_surfel_bound = int(self.surfels.count) + 64
 
         return iterations_done
