@@ -51,8 +51,18 @@ INACTIVE = kfs.INACTIVE
 def _backend_tolerates_readbacks() -> bool:
     """False on the axon TPU relay, where ONE device->host value read
     permanently degrades the session to per-kernel sync (~1000x,
-    PERF_NOTES.md). All opt-in sync paths must check this."""
-    return jax.default_backend() != "axon"
+    PERF_NOTES.md). All opt-in sync paths must check this.
+
+    NOTE: the axon plugin registers its platform as plain "tpu"
+    (jax.default_backend() == "tpu"), so detection goes through the
+    jax_platforms CONFIG string, which sitecustomize sets to "axon,cpu".
+    Verified empirically: with the wrong check, one surfel-count read made
+    odometry steps jump 0.3ms -> 32ms for the rest of the session."""
+    try:
+        platforms = jax.config.jax_platforms or ""
+    except Exception:
+        platforms = ""
+    return "axon" not in platforms
 
 
 @jax.jit
@@ -108,6 +118,16 @@ class DirectBA:
         # sync_surfel_bucket is on AND the backend tolerates readbacks.
         self.known_surfel_bound = 0
         self._bound_epoch = -1
+
+    @property
+    def _stage_sync(self):
+        """Lazy per-stage sync for Timing when sync_stage_profiling is on:
+        block_until_ready on the state a stage produced (a sync, NOT a
+        value read — safe on axon) so stage timers measure device time."""
+        if not self.config.sync_stage_profiling:
+            return None
+        return lambda: (self.surfels.pos, self.surfels.valid,
+                        self.keyframes.q, self.keyframes.activation)
 
     # ------------------------------------------------------------------
     # Keyframe management
@@ -303,11 +323,11 @@ class DirectBA:
 
             # --- surfel creation for newly active keyframes ---
             if optimize_geometry and do_surfel_updates:
-                with Timing.time("BA surfel creation"):
+                with Timing.time("BA surfel creation", sync=self._stage_sync):
                     self._create_surfels_masked(create_mask)
 
             # --- surfel activation (old surfels vs Active keyframes) ---
-            with Timing.time("BA surfel activation"):
+            with Timing.time("BA surfel activation", sync=self._stage_sync):
                 self.surfels = sf.update_surfel_activation(
                     self.surfels, self.cam,
                     ks.stack(ks.active_mask(include_covisible=False)),
@@ -319,7 +339,7 @@ class DirectBA:
 
             # --- geometry optimization ---
             if optimize_geometry:
-                with Timing.time("BA geometry optimization"):
+                with Timing.time("BA geometry optimization", sync=self._stage_sync):
                     self.surfels = optimize_geometry_iteration(
                         self.surfels, self.cam, kstack,
                         baseline_fx=c.baseline_fx,
@@ -329,14 +349,14 @@ class DirectBA:
 
             # --- merge + compact for keyframes with new surfels ---
             if do_surfel_updates:
-                with Timing.time("BA surfel merge"):
+                with Timing.time("BA surfel merge", sync=self._stage_sync):
                     self._merge_surfels_masked(create_mask)
-                with Timing.time("BA surfel compaction"):
+                with Timing.time("BA surfel compaction", sync=self._stage_sync):
                     self.surfels = sf.compact_surfels(self.surfels)
 
             # --- pose optimization (batched over participating KFs) ---
             if optimize_poses:
-                with Timing.time("BA pose optimization"):
+                with Timing.time("BA pose optimization", sync=self._stage_sync):
                     result = optimize_keyframe_poses(
                         self.surfels, self.cam, kstack,
                         baseline_fx=c.baseline_fx,
@@ -351,7 +371,7 @@ class DirectBA:
 
             # --- intrinsics optimization ---
             if optimize_depth_intrinsics or optimize_color_intrinsics:
-                with Timing.time("BA intrinsics optimization"):
+                with Timing.time("BA intrinsics optimization", sync=self._stage_sync):
                     self.optimize_intrinsics_step(
                         optimize_depth_intrinsics and c.use_geometric_residuals,
                         optimize_color_intrinsics

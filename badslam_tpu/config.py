@@ -80,6 +80,10 @@ class BadSlamConfig:
     # cost of a device->host sync per iteration (keep False on runtimes where
     # readbacks stall, PERF_NOTES.md).
     sync_convergence_checks: bool = False
+    # Per-stage device synchronization inside BA for profiling: every stage
+    # blocks on its outputs so the stage timers measure real device time
+    # instead of async dispatch. Profiling only — serializes the pipeline.
+    sync_stage_profiling: bool = False
     # Read the surfel count once per BA call to size the working slice of
     # the map ("surfels_size_" high-water analog, kernels.cuh): BA stage
     # cost then scales with the actual map instead of the static capacity.

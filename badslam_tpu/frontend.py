@@ -17,6 +17,7 @@ so tracking and BA device work naturally interleave).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import List, Optional, Tuple
 
@@ -34,6 +35,57 @@ from badslam_tpu.ops.preprocess import ProcessedFrame, preprocess_frame
 from badslam_tpu.ops.pyramid import build_pyramid
 from badslam_tpu.tracking.pairwise import track_frame_pairwise
 from badslam_tpu.utils.timing import Timing
+
+
+# ---------------------------------------------------------------------------
+# Jitted steady-state helpers. The per-frame bookkeeping (motion model,
+# pose composition, trajectory scatter, history shift) used to run as ~60
+# tiny EAGER device ops per frame; through the TPU relay each eager op is
+# a separate program dispatch, which capped the frontend at ~4 FPS
+# regardless of tracker speed. Fused into two jitted programs (with
+# donated trajectory/history buffers) the per-frame host work is 3 jit
+# dispatches total.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _predict_pose(hist_q, hist_t, n: int):
+    """Constant-motion model from the last <=3 base_T_frame estimates
+    (PredictFramePose, bad_slam.cc:767-829). `hist` rows are oldest-first;
+    `n` is the host-known number of valid rows (static: 3 variants)."""
+    last = se3.SE3(hist_q[2], hist_t[2])
+    if n < 2:
+        return last.q, last.t, last.q, last.t
+    prev = se3.SE3(hist_q[1], hist_t[1])
+    motion = se3.mul(se3.inverse(prev), last)
+    est1 = se3.mul(last, motion)
+    if n >= 3:
+        pprev = se3.SE3(hist_q[0], hist_t[0])
+        prev_motion = se3.mul(se3.inverse(pprev), prev)
+        est2 = se3.mul(prev, se3.mul(prev_motion, prev_motion))
+    else:
+        est2 = est1
+    return est1.q, est1.t, est2.q, est2.t
+
+
+@functools.partial(jax.jit, donate_argnums=(4, 5, 6, 7))
+def _frame_update(base_q, base_t, rel_q, rel_t, traj_q, traj_t,
+                  hist_q, hist_t, idx):
+    """Post-track bookkeeping in ONE program: global = base ∘ rel,
+    trajectory scatter at `idx`, motion-history shift. Donates the
+    trajectory/history buffers (in-place on device)."""
+    g = se3.mul(se3.SE3(base_q, base_t), se3.SE3(rel_q, rel_t))
+    traj_q = traj_q.at[idx].set(g.q)
+    traj_t = traj_t.at[idx].set(g.t)
+    hist_q = jnp.roll(hist_q, -1, axis=0).at[2].set(rel_q)
+    hist_t = jnp.roll(hist_t, -1, axis=0).at[2].set(rel_t)
+    return traj_q, traj_t, hist_q, hist_t, g.q, g.t
+
+
+def _identity_hist():
+    q = jnp.zeros((3, 4), jnp.float32).at[:, 0].set(1.0)
+    t = jnp.zeros((3, 3), jnp.float32)
+    return q, t
 
 
 class BadSlam:
@@ -79,8 +131,10 @@ class BadSlam:
         self.base_kf_id: Optional[int] = None
         self.base_kf_global_T_frame = se3.identity()
         self.base_kf_pyramid = None
-        # Relative pose history vs the base keyframe (bad_slam.cc:553-563).
-        self.base_kf_tr_frame: List[se3.SE3] = []
+        # Relative pose history vs the base keyframe (bad_slam.cc:553-563):
+        # device [3, 4]/[3, 3] ring (oldest first) + host-known length.
+        self._hist_q, self._hist_t = _identity_hist()
+        self._hist_n = 0
 
         # Trajectory: device-resident stacked pose buffers (static [F] shape
         # known from the dataset) + a host validity mask. Device-resident so
@@ -182,9 +236,19 @@ class BadSlam:
         c = self.config
         depth_u16 = self.video.depth_u16(frame_index)
         rgb = self.video.color_u8(frame_index)
-        depth = jnp.array(
-            depth_u16.astype(np.float32) * c.raw_to_float_depth
-        )
+        # Upload raw u16; the metric conversion happens inside
+        # preprocess_frame on device (raw_to_float kwarg below). Paths that
+        # transform depth on the way (input pyramid levels, median filter)
+        # convert here instead.
+        raw_to_float = c.raw_to_float_depth
+        host_transform = (self.input_level > 0
+                          or c.median_filter_and_densify_iterations > 0)
+        if host_transform:
+            depth = jnp.array(depth_u16.astype(np.float32)
+                              * c.raw_to_float_depth)
+            raw_to_float = None
+        else:
+            depth = jnp.array(depth_u16)
         if self.input_level > 0:
             from badslam_tpu.ops.preprocess import (
                 downscale_color,
@@ -212,6 +276,7 @@ class BadSlam:
             cfactor=params.cfactor,
             cell_size=c.sparse_surfel_cell_size,
             undistort_map=self._undistort_map,
+            raw_to_float_depth=raw_to_float,
         )
         pyramid = build_pyramid(
             frame.depth, frame.nx, frame.ny, frame.intensity, c.num_scales,
@@ -219,38 +284,48 @@ class BadSlam:
         )
         return frame, pyramid
 
+    @property
+    def base_kf_tr_frame(self) -> List[se3.SE3]:
+        """Compatibility view of the motion history (state snapshots)."""
+        n = min(self._hist_n, 3)
+        return [se3.SE3(self._hist_q[3 - n + i], self._hist_t[3 - n + i])
+                for i in range(n)]
+
+    @base_kf_tr_frame.setter
+    def base_kf_tr_frame(self, poses) -> None:
+        q, t = _identity_hist()
+        for i, p in enumerate(poses[-3:]):
+            row = 3 - min(len(poses), 3) + i
+            q = q.at[row].set(jnp.asarray(p.q))
+            t = t.at[row].set(jnp.asarray(p.t))
+        self._hist_q, self._hist_t = q, t
+        self._hist_n = len(poses)
+
     def predict_frame_pose(self) -> Tuple[se3.SE3, se3.SE3]:
         """Constant-motion model (PredictFramePose, bad_slam.cc:767-829)."""
-        hist = self.base_kf_tr_frame
-        n = len(hist)
-        if not self.config.use_motion_model or n < 2:
-            est1 = hist[-1] if hist else se3.identity()
-            return est1, est1
-        motion = se3.mul(se3.inverse(hist[-2]), hist[-1])
-        est1 = se3.mul(hist[-1], motion)
-        if n >= 3:
-            prev_motion = se3.mul(se3.inverse(hist[-3]), hist[-2])
-            est2 = se3.mul(hist[-2], se3.mul(prev_motion, prev_motion))
-        else:
-            est2 = est1
-        return est1, est2
+        n = min(self._hist_n, 3)
+        if not self.config.use_motion_model:
+            n = min(n, 1)
+        e1q, e1t, e2q, e2t = _predict_pose(self._hist_q, self._hist_t, n)
+        return se3.SE3(e1q, e1t), se3.SE3(e2q, e2t)
 
     def run_odometry(self, pyramid) -> se3.SE3:
         """Track the current frame against the base keyframe."""
         c = self.config
-        est1, est2 = self.predict_frame_pose()
+        n = min(self._hist_n, 3) if self.config.use_motion_model else 1
+        e1q, e1t, e2q, e2t = _predict_pose(self._hist_q, self._hist_t, n)
         result = track_frame_pairwise(
             self.cams_pyramid,
             self.base_kf_pyramid,
             pyramid,
-            est1.q, est1.t, est2.q, est2.t,
+            e1q, e1t, e2q, e2t,
             baseline_fx=c.baseline_fx,
             use_depth=c.use_geometric_residuals,
             use_descriptor=(c.use_photometric_residuals
                             and not c.use_gradmag),
             use_gradmag=c.use_gradmag,
             test_two_initial_estimates=(
-                c.use_motion_model and len(self.base_kf_tr_frame) >= 3
+                c.use_motion_model and self._hist_n >= 3
             ),
             max_iterations=c.tracking_max_iterations,
         )
@@ -276,12 +351,27 @@ class BadSlam:
                 with Timing.time("odometry", sync=None):
                     base_T_frame = self.run_odometry(pyramid)
             else:
-                base_T_frame = self.base_kf_tr_frame[-1]
-            global_T_frame = se3.mul(self.base_kf_global_T_frame, base_T_frame)
+                base_T_frame = se3.SE3(self._hist_q[2], self._hist_t[2])
 
-        self._set_frame_pose(frame_index, global_T_frame)
+        # Pose composition + trajectory scatter + history shift in one
+        # jitted program with donated buffers (see _frame_update).
+        base = self.base_kf_global_T_frame
+        (self.traj_q, self.traj_t, self._hist_q, self._hist_t,
+         gq, gt) = _frame_update(
+            jnp.asarray(base.q), jnp.asarray(base.t),
+            jnp.asarray(base_T_frame.q), jnp.asarray(base_T_frame.t),
+            self.traj_q, self.traj_t, self._hist_q, self._hist_t,
+            jnp.int32(frame_index),
+        )
+        global_T_frame = (global_T_frame if is_first
+                          else se3.SE3(gq, gt))
+        if is_first:
+            # The first frame's pose is the dataset prior, not base ∘ rel.
+            self._set_frame_pose(frame_index, global_T_frame)
+        else:
+            self.has_pose[frame_index] = True
+        self._hist_n += 1
         self.video.set_pose(frame_index, global_T_frame)
-        self.base_kf_tr_frame.append(base_T_frame)
         self.last_frame_index = frame_index
 
         # Drain queued BA iterations between keyframes (parallel BA mode).
@@ -377,8 +467,11 @@ class BadSlam:
                         self.cam.pyramid_level(i) for i in range(c.num_scales)
                     )
                     self.direct_ba.intrinsics_updated = False
+                # BA moved the keyframes: the returned pose must reflect
+                # the deformed trajectory, not the pre-BA composition.
+                return self.frame_pose(frame_index)
 
-        return self.frame_pose(frame_index)
+        return global_T_frame
 
     def create_keyframe(self, frame_index, frame, pyramid, global_T_frame):
         """CreateKeyframe analog (bad_slam.cc:957-1101)."""
@@ -391,7 +484,8 @@ class BadSlam:
         self.base_kf_id = kf_id
         self.base_kf_global_T_frame = global_T_frame
         self.base_kf_pyramid = pyramid
-        self.base_kf_tr_frame = [se3.identity()]
+        self._hist_q, self._hist_t = _identity_hist()
+        self._hist_n = 1
 
         if self.loop_detector is not None:
             self._loop_detection_step(kf_id, frame_index)

@@ -19,6 +19,7 @@ INACTIVE=0, COVISIBLE_ACTIVE=1, ACTIVE=2.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import List, NamedTuple, Optional
 
@@ -151,6 +152,24 @@ def _register_covisibility(covis, activation, row, new_id):
     return covis, activation
 
 
+@functools.partial(jax.jit, static_argnames=("include_covisible",))
+def _active_mask(valid, activation, include_covisible: bool):
+    m = valid & (activation == ACTIVE)
+    if include_covisible:
+        m = m | (valid & (activation == COVISIBLE_ACTIVE))
+    return m
+
+
+# NOTE: q_s/t_s are NOT donated — _remember_keyframe_poses holds the
+# pre-BA buffers for trajectory deformation.
+@jax.jit
+def _masked_pose_update(q_s, t_s, q, t, mask):
+    k = q.shape[0]
+    q_s = q_s.at[:k].set(jnp.where(mask[:, None], q, q_s[:k]))
+    t_s = t_s.at[:k].set(jnp.where(mask[:, None], t, t_s[:k]))
+    return q_s, t_s
+
+
 @jax.jit
 def _propagate_covisible_active(covis, activation, valid):
     """DetermineCovisibleActiveKeyframes (direct_ba.cc:549-564)."""
@@ -163,6 +182,41 @@ def _propagate_covisible_active(covis, activation, valid):
         activation,
     )
     return activation
+
+
+@functools.partial(jax.jit, donate_argnums=tuple(range(16)))
+def _store_and_register(
+    depth_s, raw_s, nx_s, ny_s, r2_s, int_s, rgb_s, q_s, t_s,
+    valid_s, act_s, covis_s, mind_s, maxd_s, la_s, lc_s,
+    cam, depth, raw, nx, ny, r2, inten, rgb_u8, q, t, kf_id,
+):
+    """Insert one keyframe into the stacked store + covisibility update as
+    ONE jitted program with donated buffers. The eager per-plane `.at.set`
+    version copied every [K, H, W] buffer per plane per keyframe and
+    issued ~20 relay dispatches; donation makes the writes in-place."""
+    kf = kf_id
+    depth_s = depth_s.at[kf].set(depth)
+    raw_s = raw_s.at[kf].set(raw)
+    nx_s = nx_s.at[kf].set(nx)
+    ny_s = ny_s.at[kf].set(ny)
+    r2_s = r2_s.at[kf].set(r2)
+    int_s = int_s.at[kf].set(inten)
+    rgb_s = rgb_s.at[kf].set(rgb_u8)
+    q_s = q_s.at[kf].set(q)
+    t_s = t_s.at[kf].set(t)
+    v = depth > 0
+    mind_s = mind_s.at[kf].set(jnp.min(jnp.where(v, depth, jnp.inf)))
+    maxd_s = maxd_s.at[kf].set(jnp.max(jnp.where(v, depth, 0.0)))
+    valid_s = valid_s.at[kf].set(True)
+    act_s = act_s.at[kf].set(ACTIVE)
+    la_s = la_s.at[kf].set(-1)
+    lc_s = lc_s.at[kf].set(-1)
+    row = _covisibility_row.__wrapped__(
+        cam, q_s, t_s, mind_s, maxd_s, valid_s, kf)
+    covis_s, act_s = _register_covisibility.__wrapped__(
+        covis_s, act_s, row, kf)
+    return (depth_s, raw_s, nx_s, ny_s, r2_s, int_s, rgb_s, q_s, t_s,
+            valid_s, act_s, covis_s, mind_s, maxd_s, la_s, lc_s)
 
 
 @dataclass
@@ -281,41 +335,27 @@ class KeyframeStore:
             self.count += 1
             self.frame_indices.append(-1)
         self.frame_indices[kf_id] = frame_index
-        self.depth = self.depth.at[kf_id].set(frame.depth)
         raw = frame.raw_depth if frame.raw_depth is not None else frame.depth
-        self.raw_depth = self.raw_depth.at[kf_id].set(raw)
-        self.nx = self.nx.at[kf_id].set(frame.nx)
-        self.ny = self.ny.at[kf_id].set(frame.ny)
-        self.radius2 = self.radius2.at[kf_id].set(frame.radius2)
-        self.intensity = self.intensity.at[kf_id].set(frame.intensity)
         if frame.rgb is not None:
-            self.rgb = self.rgb.at[kf_id].set(frame.rgb.astype(jnp.uint8))
+            rgb_u8 = frame.rgb
         else:
             # Gray fallback: replicate the intensity plane (keeps the color
             # pipeline uniform for intensity-only fixtures).
             g = jnp.clip(frame.intensity * 255.0 + 0.5, 0, 255)
-            self.rgb = self.rgb.at[kf_id].set(
-                jnp.stack([g, g, g], axis=-1).astype(jnp.uint8))
-        self.q = self.q.at[kf_id].set(jnp.asarray(global_T_frame.q))
-        self.t = self.t.at[kf_id].set(jnp.asarray(global_T_frame.t))
-
-        v = frame.depth > 0
-        self.min_depth = self.min_depth.at[kf_id].set(
-            jnp.min(jnp.where(v, frame.depth, jnp.inf)))
-        self.max_depth = self.max_depth.at[kf_id].set(
-            jnp.max(jnp.where(v, frame.depth, 0.0)))
-        self.valid = self.valid.at[kf_id].set(True)
-        self.activation = self.activation.at[kf_id].set(ACTIVE)
-
-        row = _covisibility_row(
-            self.cam, self.q, self.t, self.min_depth, self.max_depth,
-            self.valid, jnp.int32(kf_id),
+            rgb_u8 = jnp.stack([g, g, g], axis=-1).astype(jnp.uint8)
+        (self.depth, self.raw_depth, self.nx, self.ny, self.radius2,
+         self.intensity, self.rgb, self.q, self.t, self.valid,
+         self.activation, self.covis, self.min_depth, self.max_depth,
+         self.last_active_iter, self.last_covis_iter) = _store_and_register(
+            self.depth, self.raw_depth, self.nx, self.ny, self.radius2,
+            self.intensity, self.rgb, self.q, self.t, self.valid,
+            self.activation, self.covis, self.min_depth, self.max_depth,
+            self.last_active_iter, self.last_covis_iter,
+            self.cam, frame.depth, raw, frame.nx, frame.ny, frame.radius2,
+            frame.intensity, rgb_u8,
+            jnp.asarray(global_T_frame.q), jnp.asarray(global_T_frame.t),
+            jnp.int32(kf_id),
         )
-        self.covis, self.activation = _register_covisibility(
-            self.covis, self.activation, row, jnp.int32(kf_id)
-        )
-        self.last_active_iter = self.last_active_iter.at[kf_id].set(-1)
-        self.last_covis_iter = self.last_covis_iter.at[kf_id].set(-1)
         return kf_id
 
     def remove_keyframe(self, kf_id: int) -> None:
@@ -339,9 +379,7 @@ class KeyframeStore:
 
     def set_poses(self, q: jax.Array, t: jax.Array, mask: jax.Array) -> None:
         """Masked bulk pose update over the leading rows (post BA)."""
-        k = q.shape[0]
-        self.q = self.q.at[:k].set(jnp.where(mask[:, None], q, self.q[:k]))
-        self.t = self.t.at[:k].set(jnp.where(mask[:, None], t, self.t[:k]))
+        self.q, self.t = _masked_pose_update(self.q, self.t, q, t, mask)
 
     def pose(self, kf_id: int) -> se3.SE3:
         return se3.SE3(self.q[kf_id], self.t[kf_id])
@@ -369,10 +407,7 @@ class KeyframeStore:
         return self.raw_depth
 
     def active_mask(self, include_covisible: bool = True) -> jax.Array:
-        m = self.valid & (self.activation == ACTIVE)
-        if include_covisible:
-            m = m | (self.valid & (self.activation == COVISIBLE_ACTIVE))
-        return m
+        return _active_mask(self.valid, self.activation, include_covisible)
 
     def propagate_covisible_active(self) -> None:
         self.activation = _propagate_covisible_active(

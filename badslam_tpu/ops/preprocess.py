@@ -288,7 +288,8 @@ def compute_min_max_depth(depth: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "sigma_xy",
                                              "radius_factor", "sigma_inv_depth",
-                                             "cell_size", "use_pallas"))
+                                             "cell_size", "use_pallas",
+                                             "raw_to_float_depth"))
 def preprocess_frame(
     cam: PinholeCamera,
     depth_metric: jax.Array,
@@ -302,6 +303,7 @@ def preprocess_frame(
     cell_size: int = 4,
     use_pallas: Optional[bool] = None,
     undistort_map: Optional[jax.Array] = None,
+    raw_to_float_depth: Optional[float] = None,
 ) -> ProcessedFrame:
     """Full preprocessing pipeline for one frame — single fused XLA program.
 
@@ -312,6 +314,10 @@ def preprocess_frame(
     is remapped to the pinhole model first (nearest for depth, bilinear for
     color — UndistortImage semantics, undistortion.h:40-58).
     """
+    if raw_to_float_depth is not None:
+        # Raw u16 depth uploaded as-is; the scale conversion runs on device
+        # (saves a full-image host multiply per frame on the 1-core host).
+        depth_metric = depth_metric.astype(jnp.float32) * raw_to_float_depth
     if undistort_map is not None:
         depth_metric = undistort_image(depth_metric, undistort_map,
                                        nearest=True)

@@ -56,7 +56,9 @@ class Timing:
     @classmethod
     @contextmanager
     def time(cls, name: str, sync=None):
-        """Context manager; pass ``sync=array_or_pytree`` to block on it."""
+        """Context manager; pass ``sync=array_or_pytree`` to block on it.
+        A CALLABLE sync is invoked at region exit (lazy: lets callers block
+        on state produced inside the region — per-stage device profiling)."""
         start = time.perf_counter()
         try:
             yield
@@ -64,7 +66,7 @@ class Timing:
             if sync is not None:
                 import jax
 
-                jax.block_until_ready(sync)
+                jax.block_until_ready(sync() if callable(sync) else sync)
             cls.add_time(name, time.perf_counter() - start)
 
     @classmethod
