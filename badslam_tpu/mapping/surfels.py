@@ -40,7 +40,12 @@ from badslam_tpu.ops import robust
 from badslam_tpu.ops.interp import bilinear, gather_nearest
 from badslam_tpu.ops.preprocess import normal_z
 
-_BIG = jnp.int32(2**30)
+# Plain Python int, NOT jnp.int32: a module-level device scalar would be
+# closure-captured into every jit that uses it, and JAX reads captured
+# device arrays back to the host at lowering time to embed them as HLO
+# constants — a silent device->host read that permanently degrades the
+# axon TPU relay (PERF_NOTES.md). Weak-typed ints promote identically.
+_BIG = 2**30
 MERGE_SLOT_COUNT = 3  # kMergeBufferCount (kernels.cuh:51)
 
 

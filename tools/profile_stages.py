@@ -141,6 +141,16 @@ def main() -> int:
     bench("tracking (30 GN x 5 scales)", lambda: track_frame_pairwise(
         pyr_cams, pyr, pyr, q0, t0v, q0, t0v,
         baseline_fx=cfg.baseline_fx, max_iterations=30).q)
+
+    # Re-measure the relay floor: if it degraded vs the start-of-run value,
+    # something in the state build / stages triggered the sync fallback
+    # (PERF_NOTES.md) and every number above is inflated.
+    t0 = time.perf_counter()
+    for _ in range(20):
+        jax.block_until_ready(tiny(x))
+    per_sync2 = (time.perf_counter() - t0) / 20
+    print(f"relay sync floor at end: {1e3 * per_sync2:.2f} ms/call "
+          f"(start: {1e3 * per_sync:.2f})", flush=True)
     return 0
 
 
