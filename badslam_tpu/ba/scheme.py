@@ -21,6 +21,7 @@ check, which is host-only, is kept).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -88,6 +89,173 @@ def _reactivation(activation, participating, moved):
         participating,
         jnp.where(moved, kfs.ACTIVE, kfs.INACTIVE),
         activation,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused BA iteration: the whole alternating-scheme iteration (masks ->
+# creation -> activation -> geometry -> merge -> compact -> pose opt ->
+# reactivation -> covisibility propagation) as ONE jitted program.
+#
+# The TPU relay charges ~2.5-3 ms per program submission once its queue is
+# deep (measured, tools/probe_frame_phases.py vs probe_frame_amortized.py),
+# so the per-stage dispatch structure — fine on a local device — caps the
+# full-SLAM loop. One program per iteration also lets XLA overlap stages.
+# This also realizes SURVEY §7 hard-part #4 (few large jitted calls).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baseline_fx", "cell_size", "merge_dist_factor",
+                     "use_depth", "use_descriptor", "optimize_geometry",
+                     "do_surfel_updates", "optimize_poses",
+                     "pose_iterations"),
+    donate_argnums=(0,),
+)
+def _ba_iteration(
+    smap,
+    cam,
+    depth_s, nx_s, ny_s, radius2_s, intensity_s, rgb_s,
+    q_s, t_s, valid, activation, last_active, last_covis, covis,
+    ba_iter, min_obs,
+    *,
+    baseline_fx: float,
+    cell_size: int,
+    merge_dist_factor: float,
+    use_depth: bool,
+    use_descriptor: bool,
+    optimize_geometry: bool,
+    do_surfel_updates: bool,
+    optimize_poses: bool,
+    pose_iterations: int,
+):
+    """One alternating-BA iteration (BundleAdjustmentAlternating body,
+    direct_ba_alternating.cc:345-626) as a single XLA program. The surfel
+    map is donated (updated in place); keyframe poses are NOT donated —
+    callers hold the pre-BA snapshot for trajectory deformation."""
+    from badslam_tpu.mapping.keyframes import KeyframeStack
+
+    newly_active = valid & (activation == kfs.ACTIVE) & (last_active != ba_iter)
+    newly_covis = (
+        valid & (activation == kfs.COVISIBLE_ACTIVE) & (last_covis != ba_iter)
+    )
+    last_active = jnp.where(newly_active, ba_iter, last_active)
+    last_covis = jnp.where(newly_covis, ba_iter, last_covis)
+    create_mask = newly_active
+
+    full_stack = KeyframeStack(
+        depth_s, nx_s, ny_s, radius2_s, intensity_s, q_s, t_s, valid)
+
+    if optimize_geometry and do_surfel_updates:
+        smap, _ = sf.create_surfels_for_keyframes.__wrapped__(
+            smap, cam, full_stack, radius2_s, create_mask, covis, min_obs,
+            baseline_fx=baseline_fx, cell_size=cell_size,
+            filter_new_surfels=True, rgb_stack=rgb_s,
+        )
+
+    active_strict = valid & (activation == kfs.ACTIVE)
+    smap = sf.update_surfel_activation.__wrapped__(
+        smap, cam, full_stack._replace(mask=active_strict),
+        baseline_fx=baseline_fx,
+    )
+
+    participating = valid & (
+        (activation == kfs.ACTIVE) | (activation == kfs.COVISIBLE_ACTIVE)
+    )
+    kstack = full_stack._replace(mask=participating)
+
+    if optimize_geometry:
+        smap = optimize_geometry_iteration.__wrapped__(
+            smap, cam, kstack, baseline_fx=baseline_fx,
+            use_depth=use_depth, use_descriptor=use_descriptor,
+        )
+
+    if do_surfel_updates:
+        smap = sf.merge_surfels_for_keyframes.__wrapped__(
+            smap, cam, full_stack, create_mask, baseline_fx=baseline_fx,
+            cell_size=cell_size, merge_dist_factor=merge_dist_factor,
+        )
+        smap = sf.compact_surfels.__wrapped__(smap)
+
+    if optimize_poses:
+        result = optimize_keyframe_poses.__wrapped__(
+            smap, cam, kstack, baseline_fx=baseline_fx,
+            use_depth=use_depth, use_descriptor=use_descriptor,
+            max_iterations=pose_iterations,
+        )
+        k = result.q.shape[0]
+        q_s = q_s.at[:k].set(
+            jnp.where(participating[:, None], result.q, q_s[:k]))
+        t_s = t_s.at[:k].set(
+            jnp.where(participating[:, None], result.t, t_s[:k]))
+        activation = jnp.where(
+            participating,
+            jnp.where(result.moved, kfs.ACTIVE, kfs.INACTIVE),
+            activation,
+        )
+
+    activation = kfs._propagate_covisible_active.__wrapped__(
+        covis, activation, valid)
+    return smap, q_s, t_s, activation, last_active, last_covis
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baseline_fx", "cell_size", "merge_dist_factor",
+                     "do_surfel_updates"),
+    donate_argnums=(0,),
+)
+def _scheme_end_tasks(
+    smap,
+    cam,
+    depth_s, nx_s, ny_s, radius2_s, intensity_s,
+    q_s, t_s, valid, last_active, ba_iter, min_obs,
+    *,
+    baseline_fx: float,
+    cell_size: int,
+    merge_dist_factor: float,
+    do_surfel_updates: bool,
+):
+    """PerformBASchemeEndTasks (direct_ba.cc:566-653) as one program:
+    final merge over this block's active keyframes + delete + compact."""
+    from badslam_tpu.mapping.keyframes import KeyframeStack
+
+    full_stack = KeyframeStack(
+        depth_s, nx_s, ny_s, radius2_s, intensity_s, q_s, t_s, valid)
+    if do_surfel_updates:
+        recently_active = valid & (last_active == ba_iter)
+        smap = sf.merge_surfels_for_keyframes.__wrapped__(
+            smap, cam, full_stack, recently_active, baseline_fx=baseline_fx,
+            cell_size=cell_size, merge_dist_factor=merge_dist_factor,
+        )
+    smap = sf.delete_surfels_and_update_radii.__wrapped__(
+        smap, cam, full_stack, min_obs, baseline_fx=baseline_fx,
+    )
+    return sf.compact_surfels.__wrapped__(smap)
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def _slice_map(smap, *, bucket: int):
+    """High-water working slice of the surfel map (one program)."""
+    return jax.tree.map(
+        lambda a: a[:bucket] if getattr(a, "ndim", 0) > 0 else a, smap)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_back_map(full, view):
+    """Write the worked-on slice back into the full-capacity map
+    (donated: in-place on device)."""
+    b = view.pos.shape[0]
+    return full._replace(
+        pos=full.pos.at[:b].set(view.pos),
+        normal=full.normal.at[:b].set(view.normal),
+        radius2=full.radius2.at[:b].set(view.radius2),
+        color=full.color.at[:b].set(view.color),
+        desc=full.desc.at[:b].set(view.desc),
+        valid=full.valid.at[:b].set(view.valid),
+        active=full.active.at[:b].set(view.active),
+        count=view.count,
     )
 
 
@@ -200,21 +368,22 @@ class DirectBA:
 
     def perform_ba_scheme_end_tasks(self, do_surfel_updates: bool = True):
         """Final merge over this block's active KFs + delete + compact
-        (PerformBASchemeEndTasks, direct_ba.cc:566-653)."""
+        (PerformBASchemeEndTasks, direct_ba.cc:566-653) — one program."""
         ks = self.keyframes
         if ks.count == 0:
             return
-        if do_surfel_updates:
-            recently_active = ks.valid & (
-                ks.last_active_iter == self.ba_iteration_count
-            )
-            self._merge_surfels_masked(recently_active)
-        self.surfels = sf.delete_surfels_and_update_radii(
-            self.surfels, self.cam, ks.stack(),
+        c = self.config
+        self.surfels = _scheme_end_tasks(
+            self.surfels, self.cam,
+            ks.depth, ks.nx, ks.ny, ks.radius2, ks.intensity,
+            ks.q, ks.t, ks.valid, ks.last_active_iter,
+            jnp.int32(self.ba_iteration_count),
             jnp.int32(self.min_observation_count()),
-            baseline_fx=self.config.baseline_fx,
+            baseline_fx=c.baseline_fx,
+            cell_size=c.sparse_surfel_cell_size,
+            merge_dist_factor=c.surfel_merge_dist_factor,
+            do_surfel_updates=do_surfel_updates,
         )
-        self.surfels = sf.compact_surfels(self.surfels)
 
     # ------------------------------------------------------------------
     # Intrinsics / self-calibration
@@ -247,6 +416,65 @@ class DirectBA:
     # ------------------------------------------------------------------
     # The alternating BA scheme
     # ------------------------------------------------------------------
+
+    def _run_iteration_staged(
+        self, optimize_geometry, do_surfel_updates, optimize_poses,
+    ) -> None:
+        """One BA iteration as separate per-stage programs (profiling mode:
+        each stage gets its own timer + optional sync). The default path is
+        the fused single-program `_ba_iteration`."""
+        c = self.config
+        ks = self.keyframes
+        create_mask, ks.last_active_iter, ks.last_covis_iter = (
+            _begin_iteration_masks(
+                ks.valid, ks.activation, ks.last_active_iter,
+                ks.last_covis_iter, jnp.int32(self.ba_iteration_count),
+            )
+        )
+
+        if optimize_geometry and do_surfel_updates:
+            with Timing.time("BA surfel creation", sync=self._stage_sync):
+                self._create_surfels_masked(create_mask)
+
+        with Timing.time("BA surfel activation", sync=self._stage_sync):
+            self.surfels = sf.update_surfel_activation(
+                self.surfels, self.cam,
+                ks.stack(ks.active_mask(include_covisible=False)),
+                baseline_fx=c.baseline_fx,
+            )
+
+        participating = ks.active_mask(include_covisible=True)
+        kstack = ks.stack(participating)
+
+        if optimize_geometry:
+            with Timing.time("BA geometry optimization", sync=self._stage_sync):
+                self.surfels = optimize_geometry_iteration(
+                    self.surfels, self.cam, kstack,
+                    baseline_fx=c.baseline_fx,
+                    use_depth=c.use_geometric_residuals,
+                    use_descriptor=c.use_photometric_residuals,
+                )
+
+        if do_surfel_updates:
+            with Timing.time("BA surfel merge", sync=self._stage_sync):
+                self._merge_surfels_masked(create_mask)
+            with Timing.time("BA surfel compaction", sync=self._stage_sync):
+                self.surfels = sf.compact_surfels(self.surfels)
+
+        if optimize_poses:
+            with Timing.time("BA pose optimization", sync=self._stage_sync):
+                result = optimize_keyframe_poses(
+                    self.surfels, self.cam, kstack,
+                    baseline_fx=c.baseline_fx,
+                    use_depth=c.use_geometric_residuals,
+                    use_descriptor=c.use_photometric_residuals,
+                    max_iterations=30,
+                )
+                ks.set_poses(result.q, result.t, participating)
+                ks.activation = _reactivation(
+                    ks.activation, participating, result.moved
+                )
+        ks.propagate_covisible_active()
 
     def bundle_adjustment(
         self,
@@ -288,8 +516,7 @@ class DirectBA:
         bucket = self._bucket_size(self.known_surfel_bound)
         full_map = self.surfels
         if bucket < full_map.capacity:
-            self.surfels = jax.tree.map(
-                lambda a: a[:bucket] if a.ndim > 0 else a, full_map)
+            self.surfels = _slice_map(full_map, bucket=bucket)
 
         if (not increase_ba_iteration_count
                 and self.ba_iteration_count != self.last_ba_iteration_count):
@@ -304,6 +531,11 @@ class DirectBA:
             active=jnp.zeros_like(self.surfels.active)
         )
 
+        # Per-stage mode (sync_stage_profiling) keeps the old one-program-
+        # per-stage structure so the stage timers stay meaningful; the
+        # default path dispatches ONE fused program per iteration.
+        staged = c.sync_stage_profiling
+
         start_time = time.perf_counter()
         iterations_done = 0
         for _ in range(max_iterations):
@@ -313,61 +545,30 @@ class DirectBA:
                 ks.set_activation_window(lo, hi)
                 ks.propagate_covisible_active()
 
-            # --- bookkeeping masks for this iteration ---
-            create_mask, ks.last_active_iter, ks.last_covis_iter = (
-                _begin_iteration_masks(
-                    ks.valid, ks.activation, ks.last_active_iter,
-                    ks.last_covis_iter, jnp.int32(self.ba_iteration_count),
-                )
-            )
-
-            # --- surfel creation for newly active keyframes ---
-            if optimize_geometry and do_surfel_updates:
-                with Timing.time("BA surfel creation", sync=self._stage_sync):
-                    self._create_surfels_masked(create_mask)
-
-            # --- surfel activation (old surfels vs Active keyframes) ---
-            with Timing.time("BA surfel activation", sync=self._stage_sync):
-                self.surfels = sf.update_surfel_activation(
-                    self.surfels, self.cam,
-                    ks.stack(ks.active_mask(include_covisible=False)),
-                    baseline_fx=c.baseline_fx,
-                )
-
-            participating = ks.active_mask(include_covisible=True)
-            kstack = ks.stack(participating)
-
-            # --- geometry optimization ---
-            if optimize_geometry:
-                with Timing.time("BA geometry optimization", sync=self._stage_sync):
-                    self.surfels = optimize_geometry_iteration(
-                        self.surfels, self.cam, kstack,
+            if staged:
+                self._run_iteration_staged(
+                    optimize_geometry, do_surfel_updates, optimize_poses)
+            else:
+                with Timing.time("BA iteration"):
+                    (self.surfels, new_q, new_t, ks.activation,
+                     ks.last_active_iter, ks.last_covis_iter) = _ba_iteration(
+                        self.surfels, self.cam,
+                        ks.depth, ks.nx, ks.ny, ks.radius2, ks.intensity,
+                        ks.rgb, ks.q, ks.t, ks.valid, ks.activation,
+                        ks.last_active_iter, ks.last_covis_iter, ks.covis,
+                        jnp.int32(self.ba_iteration_count),
+                        jnp.int32(self.min_observation_count()),
                         baseline_fx=c.baseline_fx,
+                        cell_size=c.sparse_surfel_cell_size,
+                        merge_dist_factor=c.surfel_merge_dist_factor,
                         use_depth=c.use_geometric_residuals,
                         use_descriptor=c.use_photometric_residuals,
+                        optimize_geometry=optimize_geometry,
+                        do_surfel_updates=do_surfel_updates,
+                        optimize_poses=optimize_poses,
+                        pose_iterations=30,
                     )
-
-            # --- merge + compact for keyframes with new surfels ---
-            if do_surfel_updates:
-                with Timing.time("BA surfel merge", sync=self._stage_sync):
-                    self._merge_surfels_masked(create_mask)
-                with Timing.time("BA surfel compaction", sync=self._stage_sync):
-                    self.surfels = sf.compact_surfels(self.surfels)
-
-            # --- pose optimization (batched over participating KFs) ---
-            if optimize_poses:
-                with Timing.time("BA pose optimization", sync=self._stage_sync):
-                    result = optimize_keyframe_poses(
-                        self.surfels, self.cam, kstack,
-                        baseline_fx=c.baseline_fx,
-                        use_depth=c.use_geometric_residuals,
-                        use_descriptor=c.use_photometric_residuals,
-                        max_iterations=30,
-                    )
-                    ks.set_poses(result.q, result.t, participating)
-                    ks.activation = _reactivation(
-                        ks.activation, participating, result.moved
-                    )
+                    ks.q, ks.t = new_q, new_t
 
             # --- intrinsics optimization ---
             if optimize_depth_intrinsics or optimize_color_intrinsics:
@@ -388,25 +589,13 @@ class DirectBA:
             if time_limit and (time.perf_counter() - start_time) > time_limit:
                 break
 
-            ks.propagate_covisible_active()
-
         if increase_ba_iteration_count:
             self.perform_ba_scheme_end_tasks(do_surfel_updates)
             self.ba_iteration_count += 1
 
         # --- write the working slice back + resync the high-water bound ---
         if bucket < full_map.capacity:
-            view = self.surfels
-            self.surfels = full_map._replace(
-                pos=full_map.pos.at[:bucket].set(view.pos),
-                normal=full_map.normal.at[:bucket].set(view.normal),
-                radius2=full_map.radius2.at[:bucket].set(view.radius2),
-                color=full_map.color.at[:bucket].set(view.color),
-                desc=full_map.desc.at[:bucket].set(view.desc),
-                valid=full_map.valid.at[:bucket].set(view.valid),
-                active=full_map.active.at[:bucket].set(view.active),
-                count=view.count,
-            )
+            self.surfels = _write_back_map(full_map, self.surfels)
         if (c.sync_surfel_bucket and increase_ba_iteration_count
                 and _backend_tolerates_readbacks()):
             # One scalar read per BA call ("surfels_size_" resync). Only

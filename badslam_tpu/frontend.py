@@ -88,6 +88,70 @@ def _identity_hist():
     return q, t
 
 
+@functools.lru_cache(maxsize=16)
+def _steady_frame_fn(key):
+    """Fused steady-state frame program, cached per config signature.
+
+    ONE jitted program per frame: preprocess -> pyramid -> motion model ->
+    multi-scale tracking -> pose composition + trajectory scatter + history
+    shift (donated buffers). The TPU relay charges ~2.5-3 ms per program
+    submission under load (tools/probe_frame_phases.py), so the previous
+    5-program frame structure dominated the full-SLAM loop; fusing leaves
+    2 uploads + 1 program per steady frame.
+    """
+    (max_depth, sigma_xy, radius_factor, sigma_inv_depth, cell_size,
+     raw_to_float, num_scales, use_gradmag, baseline_fx, use_depth,
+     use_descriptor, use_motion_model, max_iterations) = key
+
+    @functools.partial(jax.jit, static_argnames=("n",),
+                       donate_argnums=(9, 10, 11, 12))
+    def steady(cam, cams, base_pyr, depth_raw, rgb, a, cfactor,
+               base_q, base_t, traj_q, traj_t, hist_q, hist_t, idx, *,
+               n: int):
+        frame = preprocess_frame.__wrapped__(
+            cam, depth_raw, rgb,
+            max_depth=max_depth, sigma_xy=sigma_xy,
+            radius_factor=radius_factor, sigma_inv_depth=sigma_inv_depth,
+            a=a, cfactor=cfactor, cell_size=cell_size,
+            raw_to_float_depth=raw_to_float,
+        )
+        pyramid = build_pyramid.__wrapped__(
+            frame.depth, frame.nx, frame.ny, frame.intensity,
+            num_scales, use_gradmag,
+        )
+        # Constant-motion model (PredictFramePose, bad_slam.cc:767-829).
+        last = se3.SE3(hist_q[2], hist_t[2])
+        if not use_motion_model or n < 2:
+            e1 = e2 = last
+        else:
+            prev = se3.SE3(hist_q[1], hist_t[1])
+            motion = se3.mul(se3.inverse(prev), last)
+            e1 = se3.mul(last, motion)
+            if n >= 3:
+                pprev = se3.SE3(hist_q[0], hist_t[0])
+                pm = se3.mul(se3.inverse(pprev), prev)
+                e2 = se3.mul(prev, se3.mul(pm, pm))
+            else:
+                e2 = e1
+        res = track_frame_pairwise.__wrapped__(
+            cams, base_pyr, pyramid, e1.q, e1.t, e2.q, e2.t,
+            baseline_fx=baseline_fx,
+            use_depth=use_depth,
+            use_descriptor=use_descriptor,
+            use_gradmag=use_gradmag,
+            test_two_initial_estimates=(use_motion_model and n >= 3),
+            max_iterations=max_iterations,
+        )
+        g = se3.mul(se3.SE3(base_q, base_t), se3.SE3(res.q, res.t))
+        traj_q = traj_q.at[idx].set(g.q)
+        traj_t = traj_t.at[idx].set(g.t)
+        hist_q = jnp.roll(hist_q, -1, axis=0).at[2].set(res.q)
+        hist_t = jnp.roll(hist_t, -1, axis=0).at[2].set(res.t)
+        return frame, pyramid, traj_q, traj_t, hist_q, hist_t, g.q, g.t
+
+    return steady
+
+
 class BadSlam:
     """Owns the full SLAM state and processes frames one at a time."""
 
@@ -159,6 +223,25 @@ class BadSlam:
         # reads device state — set only for interactive runs, never when
         # benchmarking (PERF_NOTES.md).
         self.live_viewer = None
+
+        # Fused steady-frame path eligibility + config signature (the
+        # host-transform paths keep the unfused fallback).
+        c = config
+        self._steady_ok = (
+            self.input_level == 0
+            and c.median_filter_and_densify_iterations == 0
+            and self._undistort_map is None
+        )
+        self._steady_key = (
+            c.max_depth, c.bilateral_filter_sigma_xy,
+            c.bilateral_filter_radius_factor,
+            c.bilateral_filter_sigma_inv_depth,
+            c.sparse_surfel_cell_size, c.raw_to_float_depth,
+            c.num_scales, c.use_gradmag, c.baseline_fx,
+            c.use_geometric_residuals,
+            c.use_photometric_residuals and not c.use_gradmag,
+            c.use_motion_model, c.tracking_max_iterations,
+        )
 
         self.loop_detector = None
         self._loop_thread = None
@@ -337,39 +420,60 @@ class BadSlam:
         """Full per-frame pipeline (ProcessFrame, bad_slam.cc:174-283).
         Returns the frame's estimated global_T_frame."""
         c = self.config
-        with Timing.time("preprocessing"):
-            frame, pyramid = self.preprocess(frame_index)
-
         is_first = self.base_kf_id is None
-        if is_first:
-            base_T_frame = se3.identity()
-            global_T_frame = (
-                self.video.poses[frame_index] or se3.identity()
-            )
-        else:
-            if c.estimate_poses:
-                with Timing.time("odometry", sync=None):
-                    base_T_frame = self.run_odometry(pyramid)
-            else:
-                base_T_frame = se3.SE3(self._hist_q[2], self._hist_t[2])
-
-        # Pose composition + trajectory scatter + history shift in one
-        # jitted program with donated buffers (see _frame_update).
-        base = self.base_kf_global_T_frame
-        (self.traj_q, self.traj_t, self._hist_q, self._hist_t,
-         gq, gt) = _frame_update(
-            jnp.asarray(base.q), jnp.asarray(base.t),
-            jnp.asarray(base_T_frame.q), jnp.asarray(base_T_frame.t),
-            self.traj_q, self.traj_t, self._hist_q, self._hist_t,
-            jnp.int32(frame_index),
-        )
-        global_T_frame = (global_T_frame if is_first
-                          else se3.SE3(gq, gt))
-        if is_first:
-            # The first frame's pose is the dataset prior, not base ∘ rel.
-            self._set_frame_pose(frame_index, global_T_frame)
-        else:
+        if not is_first and c.estimate_poses and self._steady_ok:
+            # Fused path: 2 uploads + ONE program (preprocess + pyramid +
+            # motion model + tracking + trajectory/history update).
+            with Timing.time("frame (fused)"):
+                params = self.direct_ba.depth_params
+                base = self.base_kf_global_T_frame
+                n = min(self._hist_n, 3) if c.use_motion_model else 1
+                fn = _steady_frame_fn(self._steady_key)
+                (frame, pyramid, self.traj_q, self.traj_t, self._hist_q,
+                 self._hist_t, gq, gt) = fn(
+                    self.cam, self.cams_pyramid, self.base_kf_pyramid,
+                    jnp.asarray(self.video.depth_u16(frame_index)),
+                    jnp.asarray(self.video.color_u8(frame_index)),
+                    params.a, params.cfactor,
+                    jnp.asarray(base.q), jnp.asarray(base.t),
+                    self.traj_q, self.traj_t, self._hist_q, self._hist_t,
+                    jnp.int32(frame_index), n=n,
+                )
+            global_T_frame = se3.SE3(gq, gt)
             self.has_pose[frame_index] = True
+        else:
+            with Timing.time("preprocessing"):
+                frame, pyramid = self.preprocess(frame_index)
+
+            if is_first:
+                base_T_frame = se3.identity()
+                global_T_frame = (
+                    self.video.poses[frame_index] or se3.identity()
+                )
+            else:
+                if c.estimate_poses:
+                    with Timing.time("odometry", sync=None):
+                        base_T_frame = self.run_odometry(pyramid)
+                else:
+                    base_T_frame = se3.SE3(self._hist_q[2], self._hist_t[2])
+
+            # Pose composition + trajectory scatter + history shift in one
+            # jitted program with donated buffers (see _frame_update).
+            base = self.base_kf_global_T_frame
+            (self.traj_q, self.traj_t, self._hist_q, self._hist_t,
+             gq, gt) = _frame_update(
+                jnp.asarray(base.q), jnp.asarray(base.t),
+                jnp.asarray(base_T_frame.q), jnp.asarray(base_T_frame.t),
+                self.traj_q, self.traj_t, self._hist_q, self._hist_t,
+                jnp.int32(frame_index),
+            )
+            global_T_frame = (global_T_frame if is_first
+                              else se3.SE3(gq, gt))
+            if is_first:
+                # The first frame's pose is the dataset prior, not base∘rel.
+                self._set_frame_pose(frame_index, global_T_frame)
+            else:
+                self.has_pose[frame_index] = True
         self._hist_n += 1
         self.video.set_pose(frame_index, global_T_frame)
         self.last_frame_index = frame_index
