@@ -202,6 +202,137 @@ class RadTanCamera:
         return np.stack([px, py], axis=-1).astype(np.float32)
 
 
+@dataclasses.dataclass(frozen=True)
+class ThinPrismFisheyeCamera:
+    """Pinhole + equidistant-fisheye + radial(k1..k4) + tangential(p1,p2)
+    + thin-prism(sx1,sy1) distortion — the reference's 12-parameter
+    ThinPrismFisheyeCamera12d (libvis camera.h:726-900). Like RadTanCamera
+    this describes SOURCE images; SLAM always runs on the undistorted
+    pinhole images produced via `undistortion_map`."""
+
+    pinhole: PinholeCamera
+    k1: float = 0.0
+    k2: float = 0.0
+    k3: float = 0.0
+    k4: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    sx1: float = 0.0
+    sy1: float = 0.0
+
+    @property
+    def width(self) -> int:
+        return self.pinhole.width
+
+    @property
+    def height(self) -> int:
+        return self.pinhole.height
+
+    def distort_normalized(self, nx, ny):
+        """Undistorted normalized coords -> distorted normalized coords
+        (fisheye theta/r scaling, then polynomial inner part)."""
+        import numpy as np
+
+        r = np.sqrt(nx * nx + ny * ny)
+        theta_by_r = np.where(r > 1e-6, np.arctan(r) / np.maximum(r, 1e-12),
+                              1.0)
+        fx_ = theta_by_r * nx
+        fy_ = theta_by_r * ny
+        x2, y2, xy = fx_ * fx_, fy_ * fy_, fx_ * fy_
+        r2 = x2 + y2
+        r4 = r2 * r2
+        radial = (self.k1 * r2 + self.k2 * r4 + self.k3 * r4 * r2
+                  + self.k4 * r4 * r4)
+        dx = 2.0 * self.p1 * xy + self.p2 * (r2 + 2.0 * x2) + self.sx1 * r2
+        dy = 2.0 * self.p2 * xy + self.p1 * (r2 + 2.0 * y2) + self.sy1 * r2
+        return fx_ + radial * fx_ + dx, fy_ + radial * fy_ + dy
+
+    def project_normalized(self, nx, ny):
+        """Undistorted normalized coords -> distorted pixel-corner coords."""
+        xd, yd = self.distort_normalized(nx, ny)
+        c = self.pinhole
+        return c.fx * xd + c.cx, c.fy * yd + c.cy
+
+    def undistortion_map(self, target: "PinholeCamera | None" = None):
+        """[H, W, 2] source-pixel lookup per target pixel (host numpy)."""
+        import numpy as np
+
+        target = target or self.pinhole
+        ys, xs = np.mgrid[0:target.height, 0:target.width].astype(np.float32)
+        nx = (xs + 0.5 - target.cx) / target.fx
+        ny = (ys + 0.5 - target.cy) / target.fy
+        px, py = self.project_normalized(nx, ny)
+        return np.stack([px, py], axis=-1).astype(np.float32)
+
+
+def _unproject_normalized(model, px, py, iterations: int = 100):
+    """Distorted pixel coords -> undistorted normalized coords by damped
+    fixed-point inversion of `distort_normalized` (the reference inverts
+    with a per-pixel Gauss-Newton loop, camera.h:646-713; a fixed-point
+    scheme converges for the moderate distortions these models describe).
+    Host numpy only."""
+    import numpy as np
+
+    c = model.pinhole
+    xd = (np.asarray(px, np.float64) - c.cx) / c.fx
+    yd = (np.asarray(py, np.float64) - c.cy) / c.fy
+    nx, ny = xd.copy(), yd.copy()
+    for _ in range(iterations):
+        gx, gy = model.distort_normalized(nx, ny)
+        ex, ey = gx - xd, gy - yd
+        nx = nx - 0.7 * ex
+        ny = ny - 0.7 * ey
+        if max(np.max(np.abs(ex)), np.max(np.abs(ey))) < 1e-10:
+            break
+    return nx, ny
+
+
+def decide_undistorted_camera(model, avoid_invalid_pixels: bool = False):
+    """Pinhole camera covering a distorted model's field of view
+    (DecideForUndistortedCamera, undistortion.cc:33-130; generalized to
+    any model with distort_normalized — the reference handles radtan9
+    only). With `avoid_invalid_pixels` the pinhole covers only the region
+    where every pixel maps inside the source image."""
+    import numpy as np
+
+    c = model.pinhole
+    w, h = model.width, model.height
+
+    xs = np.arange(w, dtype=np.float64) + 0.5
+    ys = np.arange(h, dtype=np.float64) + 0.5
+    # Undistorted normalized coords of the four image borders.
+    top_x, top_y = _unproject_normalized(model, xs, np.full(w, 0.5))
+    bot_x, bot_y = _unproject_normalized(model, xs, np.full(w, h - 0.5))
+    lef_x, lef_y = _unproject_normalized(model, np.full(h, 0.5), ys)
+    rig_x, rig_y = _unproject_normalized(model, np.full(h, w - 0.5), ys)
+
+    # Project with the pinhole core; sweep borders for the extent.
+    def px(nx):
+        return c.fx * nx + c.cx
+
+    def py(ny):
+        return c.fy * ny + c.cy
+
+    if avoid_invalid_pixels:
+        min_x = np.max(px(lef_x))
+        max_x = np.min(px(rig_x))
+        min_y = np.max(py(top_y))
+        max_y = np.min(py(bot_y))
+    else:
+        min_x = np.min(px(np.concatenate([top_x, bot_x, lef_x, rig_x])))
+        max_x = np.max(px(np.concatenate([top_x, bot_x, lef_x, rig_x])))
+        min_y = np.min(py(np.concatenate([top_y, bot_y, lef_y, rig_y])))
+        max_y = np.max(py(np.concatenate([top_y, bot_y, lef_y, rig_y])))
+
+    new_w = max(1, int(max_x - min_x))
+    new_h = max(1, int(max_y - min_y))
+    return PinholeCamera(
+        fx=c.fx, fy=c.fy,
+        cx=c.cx - float(min_x), cy=c.cy - float(min_y),
+        width=new_w, height=new_h,
+    )
+
+
 def pixel_grid(height: int, width: int, dtype=jnp.float32):
     """Integer pixel index grids (y, x), each [H, W]."""
     ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)

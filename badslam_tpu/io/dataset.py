@@ -136,13 +136,27 @@ def load_tum_dataset(
 ) -> RGBDVideo:
     calib_path = os.path.join(path, "calibration.txt")
     with open(calib_path) as f:
-        calib_vals = [float(v) for v in f.readline().split()]
+        tokens = f.readline().split()
+    # Calibration grammar (model dispatch like libvis' camera hierarchy,
+    # camera.h:287-295; the TUM loader itself is pinhole-only,
+    # rgbd_video_io_tum_dataset.h:122-146):
+    #   [model_name] fx fy cx cy [distortion...]
+    # with the model inferred from the parameter count when unnamed:
+    #   4 -> pinhole; 6/8 -> radtan (k1 k2 [p1 p2]);
+    #   12 -> thin-prism fisheye (k1 k2 k3 k4 p1 p2 sx1 sy1).
+    model_name = None
+    if tokens and not tokens[0].lstrip("+-").replace(".", "", 1).isdigit():
+        model_name = tokens.pop(0).lower()
+    calib_vals = [float(v) for v in tokens]
     fx, fy, cx, cy = calib_vals[:4]
-    # Extended calibration "fx fy cx cy k1 k2 [p1 p2]": radtan-distorted
-    # source images. The SLAM pipeline runs on undistorted pinhole frames
-    # (the reference undistorts on load, undistortion.h:40-58) — build the
-    # remap table here; preprocess_frame applies it on device.
-    distortion = calib_vals[4:8]
+    distortion = calib_vals[4:]
+    if model_name is None:
+        model_name = {0: "pinhole", 2: "radtan", 4: "radtan",
+                      8: "thin_prism_fisheye"}.get(len(distortion))
+        if model_name is None:
+            raise ValueError(
+                f"calibration.txt: cannot infer camera model from "
+                f"{4 + len(distortion)} parameters")
 
     color_paths: List[str] = []
     depth_paths: List[str] = []
@@ -165,6 +179,35 @@ def load_tum_dataset(
     h, w = first.shape
     camera = PinholeCamera(fx=fx, fy=fy, cx=cx, cy=cy, width=w, height=h)
 
+    # Non-pinhole source: the SLAM pipeline runs on undistorted pinhole
+    # frames (the reference undistorts on load, undistortion.h:40-58).
+    # Pick the pinhole covering the source FOV (DecideForUndistortedCamera
+    # with avoid_invalid_pixels=false — the depth-camera choice,
+    # input_structure.cc:414) and build the remap table; preprocess_frame
+    # applies it on device.
+    src = None
+    if model_name in ("radtan", "radtan8", "radtan9") and any(
+            abs(v) > 0 for v in distortion):
+        from badslam_tpu.geometry.camera import RadTanCamera
+
+        k = (distortion + [0.0] * 4)[:4]
+        src = RadTanCamera(pinhole=camera, k1=k[0], k2=k[1],
+                           p1=k[2], p2=k[3])
+    elif model_name in ("thin_prism_fisheye", "fisheye"):
+        from badslam_tpu.geometry.camera import ThinPrismFisheyeCamera
+
+        k = (distortion + [0.0] * 8)[:8]
+        src = ThinPrismFisheyeCamera(
+            pinhole=camera, k1=k[0], k2=k[1], k3=k[2], k4=k[3],
+            p1=k[4], p2=k[5], sx1=k[6], sy1=k[7])
+    elif model_name not in (None, "pinhole"):
+        raise ValueError(f"unknown camera model '{model_name}'")
+
+    if src is not None:
+        from badslam_tpu.geometry.camera import decide_undistorted_camera
+
+        camera = decide_undistorted_camera(src, avoid_invalid_pixels=False)
+
     video = RGBDVideo(
         base_path=path,
         color_paths=color_paths,
@@ -174,22 +217,41 @@ def load_tum_dataset(
     )
     video._depth_cache[0] = first
 
-    if any(abs(v) > 0 for v in distortion):
-        from badslam_tpu.geometry.camera import RadTanCamera
-
-        k = distortion + [0.0] * (4 - len(distortion))
-        src = RadTanCamera(pinhole=camera, k1=k[0], k2=k[1],
-                           p1=k[2], p2=k[3])
-        video.undistortion_map = src.undistortion_map()
+    if src is not None:
+        video.undistortion_map = src.undistortion_map(camera)
 
     if trajectory_filename:
         ts, poses = load_tum_trajectory(os.path.join(path, trajectory_filename))
-        # Associate by nearest timestamp (reference slerp-interpolates; the
-        # nearest-pose association suffices for initialization purposes).
+        # Interpolate the trajectory at each frame timestamp: translation
+        # lerp + quaternion slerp between the bracketing trajectory poses
+        # (ReadTUMRGBDDatasetAssociatedAndCalibrated semantics,
+        # rgbd_video_io_tum_dataset.h:149-199); clamp at the ends.
+        import jax.numpy as jnp
+
+        from badslam_tpu.geometry import se3_np as s3np
+
         ts_arr = np.array(ts)
+        np_poses = [
+            s3np.SE3(np.asarray(p.q, np.float64), np.asarray(p.t, np.float64))
+            for p in poses
+        ]
         for i, t in enumerate(timestamps):
-            j = int(np.argmin(np.abs(ts_arr - t)))
-            video.poses[i] = poses[j]
+            j = int(np.searchsorted(ts_arr, t))
+            if j <= 0:
+                pose = np_poses[0]
+            elif j >= len(np_poses):
+                pose = np_poses[-1]
+            else:
+                a, b = np_poses[j - 1], np_poses[j]
+                denom = max(ts_arr[j] - ts_arr[j - 1], 1e-12)
+                f = float((t - ts_arr[j - 1]) / denom)
+                pose = s3np.SE3(
+                    s3np.slerp(a.q, b.q, f),
+                    (1.0 - f) * a.t + f * b.t,
+                )
+            video.poses[i] = se3.SE3(
+                jnp.array(pose.q, jnp.float32), jnp.array(pose.t, jnp.float32)
+            )
     return video
 
 
