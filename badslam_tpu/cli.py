@@ -23,9 +23,18 @@ def build_parser() -> argparse.ArgumentParser:
         prog="badslam_tpu",
         description="TPU-native direct RGB-D SLAM (BAD SLAM capabilities)",
     )
-    p.add_argument("dataset", help="TUM/ETH3D-format dataset directory")
+    p.add_argument("dataset", nargs="?", default=None,
+                   help="TUM/ETH3D-format dataset directory (omit with "
+                        "--live)")
     p.add_argument("--trajectory_filename", default=None,
                    help="optional ground-truth/init trajectory in the dataset dir")
+    p.add_argument("--live", default=None,
+                   help="live input instead of a dataset: 'dir:<path>' "
+                        "(follow a frame-drop directory), 'tcp:<port>' "
+                        "(binary frame stream), or 'realsense'/'k4a'/"
+                        "'structure' (vendor SDK required)")
+    p.add_argument("--live_max_frames", type=int, default=10000,
+                   help="capacity of the live-mode trajectory buffers")
 
     # Mirror BadSlamConfig fields as flags automatically.
     cfg = BadSlamConfig()
@@ -122,7 +131,20 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile)
         profiler_cm = True
 
-    video = load_tum_dataset(args.dataset, args.trajectory_filename)
+    live_input = None
+    if args.live:
+        from badslam_tpu.io.live_inputs import open_live_input
+
+        live_input = open_live_input(args.live)
+        video = live_input.start(
+            max_frames=args.live_max_frames,
+            depth_scaling=1.0 / config.raw_to_float_depth,
+        )
+    elif args.dataset:
+        video = load_tum_dataset(args.dataset, args.trajectory_filename)
+    else:
+        build_parser().error("either a dataset directory or --live is "
+                             "required")
     if args.autotune:
         from badslam_tpu.ops.pallas_kernels import autotune_preprocess
 
@@ -146,7 +168,13 @@ def main(argv=None) -> int:
                           interval=args.live_viewer_interval)
         slam.live_viewer = live
         print(f"live viewer: http://127.0.0.1:{live.port}/index.html")
-    slam.run(start=start, progress=not args.quiet)
+    if live_input is not None:
+        try:
+            slam.run_live(progress=not args.quiet)
+        finally:
+            live_input.stop()
+    else:
+        slam.run(start=start, progress=not args.quiet)
 
     if args.final_ba:
         slam.final_bundle_adjustment(

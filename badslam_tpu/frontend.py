@@ -878,6 +878,28 @@ class BadSlam:
         # Apply any loop closures still in flight on the detection thread.
         self._drain_loop_detections()
 
+    def run_live(self, progress: bool = False) -> int:
+        """Consume a live input stream (io.live_inputs.LiveRGBDVideo):
+        process frames as the capture thread delivers them, until the
+        stream ends or capacity is reached (the reference's live frame
+        loop, main.cc:652-760 with GetNextFrame). Returns the number of
+        frames processed."""
+        video = self.video
+        i = 0
+        while video.wait_for_frame(i):
+            if self.live_viewer is not None:
+                self.live_viewer.wait_if_paused()
+            t0 = time.perf_counter()
+            self.process_frame(i)
+            video.clear_frame(i)
+            if progress:
+                dt = time.perf_counter() - t0
+                print(f"frame {i}: {1.0 / max(dt, 1e-9):.1f} FPS",
+                      flush=True)
+            i += 1
+        self._drain_loop_detections()
+        return i
+
     def final_bundle_adjustment(
         self, window_size: int = 16, window_stride: int = 8
     ) -> None:
