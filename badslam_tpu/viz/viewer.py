@@ -37,6 +37,9 @@ _HTML = """<!DOCTYPE html>
  body { margin:0; background:#111; color:#ccc; font:12px monospace; overflow:hidden }
  #hud { position:absolute; top:8px; left:8px; z-index:2; user-select:none }
  #pick { position:absolute; bottom:8px; left:8px; z-index:2; color:#fb3 }
+ #ims { position:absolute; top:8px; right:8px; z-index:2; text-align:right }
+ #ims img { display:block; margin-bottom:4px; border:1px solid #444;
+            max-width:240px }
  button { background:#222; color:#ccc; border:1px solid #555; margin-right:4px;
           font:12px monospace; cursor:pointer }
  canvas { display:block }
@@ -51,6 +54,7 @@ _HTML = """<!DOCTYPE html>
   <span id="state"></span>
  </span></div>
 <div id="pick"></div>
+<div id="ims"></div>
 <canvas id="c"></canvas>
 <script>
 const POLL_MS = __POLL_MS__;
@@ -125,6 +129,17 @@ function setData(DATA){
     cx=0; cy=0; cz=0;
     for (let i=0;i<pos.length;i+=3){cx+=pos[i];cy+=pos[i+1];cz+=pos[i+2];}
     cx/=nPos; cy/=nPos; cz/=nPos; haveCenter = true;
+  }
+  // Current-frame image panels (ImageDisplay analog, image_display.h).
+  const ims = document.getElementById('ims');
+  ims.innerHTML = '';
+  if (DATA.rgb_png){
+    const im = document.createElement('img');
+    im.src = 'data:image/png;base64,' + DATA.rgb_png; ims.appendChild(im);
+  }
+  if (DATA.depth_png){
+    const im = document.createElement('img');
+    im.src = 'data:image/png;base64,' + DATA.depth_png; ims.appendChild(im);
   }
 }
 
@@ -311,7 +326,35 @@ def _snapshot_dict(slam, max_points: int = 400_000,
         return base64.b64encode(
             np.ascontiguousarray(arr, dtype).tobytes()).decode()
 
+    # Current-frame RGB + colormapped-depth panels from HOST video data
+    # (ImageDisplay analog, libvis image_display.h — no device reads).
+    rgb_png = depth_png = None
+    try:
+        idx = slam.last_frame_index
+        if idx >= 0:
+            import cv2
+
+            rgb = np.asarray(slam.video.color_u8(idx))
+            depth = np.asarray(slam.video.depth_u16(idx))
+            if rgb.size and depth.size:
+                step = max(1, rgb.shape[1] // 320)
+                rgb_s = rgb[::step, ::step]
+                d = depth[::step, ::step].astype(np.float32)
+                dmax = float(d.max()) or 1.0
+                d8 = np.clip(255.0 * d / dmax, 0, 255).astype(np.uint8)
+                dviz = cv2.applyColorMap(d8, cv2.COLORMAP_TURBO)
+                ok1, buf1 = cv2.imencode(".png", rgb_s[..., ::-1])
+                ok2, buf2 = cv2.imencode(".png", dviz)
+                if ok1:
+                    rgb_png = base64.b64encode(buf1.tobytes()).decode()
+                if ok2:
+                    depth_png = base64.b64encode(buf2.tobytes()).decode()
+    except Exception:
+        pass  # cleared live frames / missing cv2: panels are optional
+
     return dict(
+        rgb_png=rgb_png,
+        depth_png=depth_png,
         pos=b64(pos, np.float32),
         col=b64(np.clip(col, 0, 255), np.uint8),
         nrm=b64(nrm, np.float32),
