@@ -105,15 +105,7 @@ def _reactivation(activation, participating, moved):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("baseline_fx", "cell_size", "merge_dist_factor",
-                     "use_depth", "use_descriptor", "optimize_geometry",
-                     "do_surfel_updates", "optimize_poses",
-                     "pose_iterations"),
-    donate_argnums=(0,),
-)
-def _ba_iteration(
+def _iteration_core(
     smap,
     cam,
     depth_s, nx_s, ny_s, radius2_s, intensity_s, rgb_s,
@@ -131,9 +123,9 @@ def _ba_iteration(
     pose_iterations: int,
 ):
     """One alternating-BA iteration (BundleAdjustmentAlternating body,
-    direct_ba_alternating.cc:345-626) as a single XLA program. The surfel
-    map is donated (updated in place); keyframe poses are NOT donated —
-    callers hold the pre-BA snapshot for trajectory deformation."""
+    direct_ba_alternating.cc:345-626) as pure traced computation; wrapped
+    by `_ba_iteration` (single program) and `_ba_iterations` (device
+    while_loop over iterations with read-free convergence exit)."""
     from badslam_tpu.mapping.keyframes import KeyframeStack
 
     newly_active = valid & (activation == kfs.ACTIVE) & (last_active != ba_iter)
@@ -198,6 +190,56 @@ def _ba_iteration(
     activation = kfs._propagate_covisible_active.__wrapped__(
         covis, activation, valid)
     return smap, q_s, t_s, activation, last_active, last_covis
+
+
+_BA_STATICS = ("baseline_fx", "cell_size", "merge_dist_factor",
+               "use_depth", "use_descriptor", "optimize_geometry",
+               "do_surfel_updates", "optimize_poses", "pose_iterations")
+
+
+@functools.partial(jax.jit, static_argnames=_BA_STATICS, donate_argnums=(0,))
+def _ba_iteration(smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s,
+                  rgb_s, q_s, t_s, valid, activation, last_active,
+                  last_covis, covis, ba_iter, min_obs, **statics):
+    """One BA iteration as a single XLA program. The surfel map is donated
+    (updated in place); keyframe poses are NOT donated — callers hold the
+    pre-BA snapshot for trajectory deformation."""
+    return _iteration_core(
+        smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s, rgb_s,
+        q_s, t_s, valid, activation, last_active, last_covis, covis,
+        ba_iter, min_obs, **statics)
+
+
+@functools.partial(jax.jit, static_argnames=_BA_STATICS + ("max_iterations",),
+                   donate_argnums=(0,))
+def _ba_iterations(smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s,
+                   rgb_s, q_s, t_s, valid, activation, last_active,
+                   last_covis, covis, ba_iter, min_obs, *,
+                   max_iterations: int, **statics):
+    """Up to `max_iterations` BA iterations in ONE program, with the
+    reference's all-keyframes-converged early exit
+    (direct_ba_alternating.cc:692-701) evaluated ON DEVICE — read-free,
+    unlike the host-synced `sync_convergence_checks` path. A
+    lax.while_loop predicate (`i < max && any keyframe ACTIVE`) replaces
+    the reference's per-iteration host check; converged calls cost one
+    predicate evaluation instead of a full iteration."""
+
+    def cond(state):
+        i, _, _, _, act, _, _ = state
+        return (i < max_iterations) & jnp.any(valid & (act == kfs.ACTIVE))
+
+    def body(state):
+        i, m, q, t, act, la, lc = state
+        m, q, t, act, la, lc = _iteration_core(
+            m, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s, rgb_s,
+            q, t, valid, act, la, lc, covis, ba_iter, min_obs, **statics)
+        return (i + 1, m, q, t, act, la, lc)
+
+    state = (jnp.int32(0), smap, q_s, t_s, activation, last_active,
+             last_covis)
+    i, smap, q_s, t_s, activation, last_active, last_covis = (
+        jax.lax.while_loop(cond, body, state))
+    return smap, q_s, t_s, activation, last_active, last_covis, i
 
 
 @functools.partial(
@@ -535,9 +577,43 @@ class DirectBA:
         # per-stage structure so the stage timers stay meaningful; the
         # default path dispatches ONE fused program per iteration.
         staged = c.sync_stage_profiling
+        if convergence_check is None:
+            convergence_check = (c.sync_convergence_checks
+                                 and _backend_tolerates_readbacks())
+
+        # Hot path: ALL iterations in one program with the device-side
+        # all-keyframes-converged early exit (read-free; the host paths
+        # below keep per-iteration dispatch for windowing/intrinsics/
+        # profiling/synced-convergence).
+        iterations_done = 0
+        if (not staged and not fixed_window and not convergence_check
+                and not time_limit
+                and not (optimize_depth_intrinsics
+                         or optimize_color_intrinsics)):
+            with Timing.time("BA iterations (fused)"):
+                (self.surfels, ks.q, ks.t, ks.activation,
+                 ks.last_active_iter, ks.last_covis_iter, _) = _ba_iterations(
+                    self.surfels, self.cam,
+                    ks.depth, ks.nx, ks.ny, ks.radius2, ks.intensity,
+                    ks.rgb, ks.q, ks.t, ks.valid, ks.activation,
+                    ks.last_active_iter, ks.last_covis_iter, ks.covis,
+                    jnp.int32(self.ba_iteration_count),
+                    jnp.int32(self.min_observation_count()),
+                    max_iterations=max_iterations,
+                    baseline_fx=c.baseline_fx,
+                    cell_size=c.sparse_surfel_cell_size,
+                    merge_dist_factor=c.surfel_merge_dist_factor,
+                    use_depth=c.use_geometric_residuals,
+                    use_descriptor=c.use_photometric_residuals,
+                    optimize_geometry=optimize_geometry,
+                    do_surfel_updates=do_surfel_updates,
+                    optimize_poses=optimize_poses,
+                    pose_iterations=30,
+                )
+            iterations_done = max_iterations  # host upper bound (read-free)
+            max_iterations = 0                # skip the per-iteration loop
 
         start_time = time.perf_counter()
-        iterations_done = 0
         for _ in range(max_iterations):
             iterations_done += 1
             if fixed_window:
@@ -579,9 +655,6 @@ class DirectBA:
                         and c.use_photometric_residuals,
                     )
 
-            if convergence_check is None:
-                convergence_check = (c.sync_convergence_checks
-                                     and _backend_tolerates_readbacks())
             if (convergence_check and iterations_done >= max(1, min_iterations)
                     and optimize_poses
                     and int(jnp.sum(ks.active_mask(False))) == 0):

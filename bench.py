@@ -105,7 +105,15 @@ def bench_slam(cam, scene) -> float:
 
     one_pass()            # warmup: compiles everything (cache persists)
     dt, slam = one_pass() # timed
-    return SLAM_FRAMES / dt
+    # Accuracy evidence AFTER both timed regions (this read degrades the
+    # relay session — nothing is timed after it).
+    traj = np.asarray(slam.traj_q), np.asarray(slam.traj_t)
+    from badslam_tpu.geometry import se3_np as s3
+
+    est = [s3.SE3(traj[0][i].astype(float), traj[1][i].astype(float))
+           for i in range(SLAM_FRAMES)]
+    ate = syn.ate_rmse(est, gt)
+    return SLAM_FRAMES / dt, ate
 
 
 def bench_odometry(cam, scene) -> float:
@@ -205,7 +213,7 @@ def main() -> None:
         autotune_preprocess(HEIGHT, WIDTH)
 
     odo_fps = bench_odometry(cam, scene)
-    slam_fps = bench_slam(cam, scene)
+    slam_fps, slam_ate = bench_slam(cam, scene)
 
     print(json.dumps({
         "metric": "slam_fps",
@@ -213,6 +221,7 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(slam_fps / 30.0, 3),
         "vga_odometry_fps": round(odo_fps, 2),
+        "slam_ate_rmse_m": round(slam_ate, 8),
     }))
 
 

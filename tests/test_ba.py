@@ -140,3 +140,45 @@ def test_ba_converges_and_early_exits():
     # convergence check; disabled by default for read-free operation).
     iters = ba.bundle_adjustment(max_iterations=10, convergence_check=True)
     assert iters <= 3
+
+
+def test_fused_iterations_match_staged_path():
+    """The single-program while_loop BA (_ba_iterations) must produce the
+    same poses/activation as the per-stage dispatch path."""
+
+    def run(staged: bool):
+        rng = np.random.default_rng(13)
+        cam, scene, ba = build_ba(rng)
+        ba.config.sync_stage_profiling = staged
+        gt = [se3.identity(), synthetic.pose(tx=0.03, ty=0.01, rz=0.01)]
+        kf0 = add_rendered_keyframe(ba, cam, scene, gt[0], 0)
+        ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False)
+        add_rendered_keyframe(ba, cam, scene, gt[1], 1)
+        pert = synthetic.pose(tx=0.004, ty=-0.003, rz=0.001)
+        ba.keyframes.set_pose(1, se3.mul(gt[1], pert))
+        ba.bundle_adjustment(max_iterations=4)
+        return (np.asarray(ba.keyframes.q), np.asarray(ba.keyframes.t),
+                np.asarray(ba.keyframes.activation),
+                int(ba.surfel_count))
+
+    q_f, t_f, act_f, n_f = run(staged=False)
+    q_s, t_s, act_s, n_s = run(staged=True)
+    # The staged path differs only in program structure, not math; the
+    # while_loop adds a convergence exit which cannot fire here (the
+    # perturbed keyframe stays active for these few iterations).
+    np.testing.assert_allclose(q_f, q_s, atol=1e-6)
+    np.testing.assert_allclose(t_f, t_s, atol=1e-6)
+    np.testing.assert_array_equal(act_f, act_s)
+    assert n_f == n_s
+
+
+def test_fused_iterations_device_early_exit():
+    """Read-free convergence: with an unperturbed scene the device
+    while_loop exits early, leaving all keyframes INACTIVE."""
+    rng = np.random.default_rng(14)
+    cam, scene, ba = build_ba(rng)
+    kf0 = add_rendered_keyframe(ba, cam, scene, se3.identity(), 0)
+    ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False)
+    add_rendered_keyframe(ba, cam, scene, synthetic.pose(tx=0.02), 1)
+    ba.bundle_adjustment(max_iterations=10)
+    assert int(jnp.sum(ba.keyframes.active_mask(False))) == 0
