@@ -106,6 +106,28 @@ class LoopDetector:
     _last_candidate: int = -1
     _vocab: Optional[BinaryVocabulary] = None
     _db: Optional[BowDatabase] = None
+    # DEBUG_LOCKING analog (direct_ba.h:47,231-249): when a detection
+    # thread claims ownership, every state-touching call asserts it runs
+    # on that thread. Active under __debug__ (cf. the reference's
+    # debug-build-only CHECK(!mutex.try_lock()) assertions).
+    _owner_thread: Optional[int] = None
+
+    def claim_thread_ownership(self) -> None:
+        """Called from the owning (detection) thread; from then on all
+        detector state access must happen on that thread."""
+        import threading
+
+        self._owner_thread = threading.get_ident()
+
+    def _check_owner(self) -> None:
+        if __debug__ and self._owner_thread is not None:
+            import threading
+
+            assert threading.get_ident() == self._owner_thread, (
+                "LoopDetector state accessed off its owning detection "
+                "thread (DEBUG_LOCKING analog) — route the call through "
+                "LoopDetectionThread's work queue"
+            )
 
     def __post_init__(self):
         if self.image_frequency > 0:
@@ -150,6 +172,7 @@ class LoopDetector:
     ) -> int:
         """Register a keyframe's features under slot `kf_id` (defaults to
         the next sequential id); returns the id."""
+        self._check_owner()
         if kf_id is None:
             kf_id = max(self.features, default=-1) + 1
         if kf_id in self.features:  # recycled slot: drop the old entry
@@ -167,6 +190,7 @@ class LoopDetector:
 
     def remove_keyframe(self, kf_id: int) -> None:
         """Forget a merged/deleted keyframe's features."""
+        self._check_owner()
         if kf_id in self.features:
             del self.features[kf_id]
             self._order.remove(kf_id)
@@ -185,6 +209,7 @@ class LoopDetector:
         """Inverted-index BoW query + temporal consistency; returns a
         matched keyframe id or None (DBoW2 query + DLoopDetector gates).
         Recency is measured in registration order, not slot id."""
+        self._check_owner()
         if self._db is None:
             # Detection requested before the training threshold: train now
             # from whatever keyframes exist.

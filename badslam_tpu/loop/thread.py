@@ -80,6 +80,9 @@ class LoopDetectionThread:
     # -- worker side -----------------------------------------------------
 
     def _main(self) -> None:
+        # DEBUG_LOCKING analog: all detector state is owned by this
+        # thread; any direct main-thread access now asserts.
+        self.detector.claim_thread_ownership()
         while True:
             item = self._work.get()
             if item is None:

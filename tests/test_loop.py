@@ -260,3 +260,32 @@ def test_frontend_loop_closure_plumbing(tmp_path):
         - np.asarray(true_pose.t))
     assert slam.loop_closure_count == 1
     assert after < 0.5 * before, (before, after)
+
+
+def test_detection_thread_ownership_assertions():
+    """DEBUG_LOCKING analog: once a detection thread owns the detector,
+    direct main-thread state access raises (the reference's
+    CHECK(!mutex.try_lock()) compiled under DEBUG_LOCKING,
+    direct_ba.h:47,231-249)."""
+    import numpy as np
+    import pytest
+
+    from badslam_tpu.geometry.camera import PinholeCamera
+    from badslam_tpu.loop.detector import LoopDetector
+    from badslam_tpu.loop.thread import LoopDetectionThread
+
+    cam = PinholeCamera(fx=60.0, fy=60.0, cx=40.0, cy=30.0,
+                        width=80, height=60)
+    det = LoopDetector(cam=cam)
+    thread = LoopDetectionThread(det)
+    gray = np.zeros((60, 80), np.uint8)
+    depth = np.ones((60, 80), np.float32)
+    # Routed through the queue: fine.
+    seq = thread.enqueue(0, gray, depth)
+    thread.wait_through(seq)
+    # Direct main-thread access: must assert.
+    with pytest.raises(AssertionError):
+        det.add_keyframe(gray, depth, kf_id=1)
+    with pytest.raises(AssertionError):
+        det.remove_keyframe(0)
+    thread.stop()
