@@ -18,6 +18,37 @@ import sys
 from badslam_tpu.config import BadSlamConfig
 
 
+def _config_help() -> dict:
+    """Per-field help text harvested from badslam_tpu/config.py's own
+    comments (inline `# ...` and comment blocks above a field) — the
+    analog of the reference's per-parameter help-string constants
+    (bad_slam_config.h:41-377), without a second copy to keep in sync."""
+    import inspect
+    import re
+
+    from badslam_tpu import config as config_mod
+
+    helps = {}
+    pending: list = []
+    for raw in inspect.getsource(config_mod).splitlines():
+        line = raw.strip()
+        if line.startswith("# ---") or not line:
+            pending = []
+            continue
+        if line.startswith("#"):
+            pending.append(line.lstrip("# ").rstrip())
+            continue
+        m = re.match(r"(\w+)\s*:\s*\w[\w\[\]\. ]*=\s*[^#]*(?:#\s*(.*))?",
+                     line)
+        if m:
+            name, inline = m.group(1), m.group(2)
+            text = " ".join(pending) if pending else (inline or "")
+            if text:
+                helps[name] = text.strip()
+        pending = []
+    return helps
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="badslam_tpu",
@@ -36,24 +67,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--live_max_frames", type=int, default=10000,
                    help="capacity of the live-mode trajectory buffers")
 
-    # Mirror BadSlamConfig fields as flags automatically.
+    # Mirror BadSlamConfig fields as flags automatically, with help text
+    # harvested from the config source comments.
     cfg = BadSlamConfig()
+    helps = _config_help()
     skip = {"loop_detection_vocabulary_path"}
     for f in dataclasses.fields(BadSlamConfig):
         name = f.name
         default = getattr(cfg, name)
         if name in skip:
             continue
+        help_text = helps.get(name)
         if isinstance(default, bool):
             p.add_argument(f"--{name}", type=lambda s: s.lower() in
                            ("1", "true", "yes"), default=default,
-                           metavar="BOOL")
+                           metavar="BOOL", help=help_text)
         elif isinstance(default, int):
-            p.add_argument(f"--{name}", type=int, default=default)
+            p.add_argument(f"--{name}", type=int, default=default,
+                           help=help_text)
         elif isinstance(default, float):
-            p.add_argument(f"--{name}", type=float, default=default)
+            p.add_argument(f"--{name}", type=float, default=default,
+                           help=help_text)
         else:
-            p.add_argument(f"--{name}", type=str, default=default)
+            p.add_argument(f"--{name}", type=str, default=default,
+                           help=help_text)
 
     # Outputs (main.cc export options).
     p.add_argument("--export_poses", default=None,

@@ -18,20 +18,20 @@ from typing import Optional
 class BadSlamConfig:
     # --- Dataset playback ---
     raw_to_float_depth: float = 1.0 / 5000.0  # u16 -> meters factor
-    start_frame: int = 0
-    end_frame: int = 2147483647
+    start_frame: int = 0  # first dataset frame to process
+    end_frame: int = 2147483647  # one past the last frame to process
     target_frame_rate: float = 0.0  # simulate real-time if > 0
-    fps_restriction: int = 30
-    pyramid_level_for_depth: int = 0
-    pyramid_level_for_color: int = 0
+    fps_restriction: int = 30  # cap playback at this rate (0 = unlimited)
+    pyramid_level_for_depth: int = 0  # process depth at this pyramid level (half-res per level)
+    pyramid_level_for_color: int = 0  # process color at this pyramid level (must equal depth level)
 
     # --- Depth preprocessing ---
-    max_depth: float = 3.0
-    baseline_fx: float = 40.0
-    median_filter_and_densify_iterations: int = 0
-    bilateral_filter_sigma_xy: float = 1.5
-    bilateral_filter_radius_factor: float = 2.0
-    bilateral_filter_sigma_inv_depth: float = 0.005
+    max_depth: float = 3.0  # depth cutoff [m]; measurements beyond are dropped
+    baseline_fx: float = 40.0  # stereo baseline times fx: scales the depth uncertainty model
+    median_filter_and_densify_iterations: int = 0  # CPU median filter + densify passes on raw depth
+    bilateral_filter_sigma_xy: float = 1.5  # bilateral depth filter spatial sigma [px]
+    bilateral_filter_radius_factor: float = 2.0  # filter radius = factor * sigma_xy
+    bilateral_filter_sigma_inv_depth: float = 0.005  # bilateral value sigma in inverse depth [1/m]
 
     # --- Surfel reconstruction ---
     # The reference preallocates 25M surfel slots but its kernels iterate
@@ -39,42 +39,42 @@ class BadSlamConfig:
     # ops run over the full static capacity (read-free design), so the
     # default is sized for VGA-scale scenes; raise it for large maps.
     max_surfel_count: int = 1 << 22
-    sparse_surfel_cell_size: int = 4
-    surfel_merge_dist_factor: float = 0.8
-    min_observation_count_while_bootstrapping_1: int = 1
-    min_observation_count_while_bootstrapping_2: int = 2
-    min_observation_count: int = 3
+    sparse_surfel_cell_size: int = 4  # sparsification grid cell [px]: at most ~1 surfel per cell
+    surfel_merge_dist_factor: float = 0.8  # merge surfels closer than factor * min radius
+    min_observation_count_while_bootstrapping_1: int = 1  # observation filter with <= 1 keyframe
+    min_observation_count_while_bootstrapping_2: int = 2  # observation filter with 2 keyframes
+    min_observation_count: int = 3  # surfels need this many observing keyframes
 
     # --- Odometry / BA ---
-    num_scales: int = 5
-    use_motion_model: bool = True
-    keyframe_interval: int = 10
-    max_num_ba_iterations_per_keyframe: int = 10
-    disable_deactivation: bool = True
-    use_geometric_residuals: bool = True
-    use_photometric_residuals: bool = True
+    num_scales: int = 5  # multi-resolution pyramid levels for tracking
+    use_motion_model: bool = True  # constant-motion pose prediction (2 extrapolation variants)
+    keyframe_interval: int = 10  # create a keyframe every N processed frames
+    max_num_ba_iterations_per_keyframe: int = 10  # alternating-BA iterations scheduled per keyframe
+    disable_deactivation: bool = True  # keep converged keyframes active (reference default)
+    use_geometric_residuals: bool = True  # point-to-plane depth residuals
+    use_photometric_residuals: bool = True  # 2-component descriptor (intensity gradient) residuals
     # Track against gradient-magnitude images instead of descriptor
     # residuals (the reference's compile-time `use_gradmag` switch,
     # bad_slam.cc:835, kernel_opt_pose.h:55 _GradMag kernel variants).
     # Pairwise tracking only; BA keeps descriptor residuals.
     use_gradmag: bool = False
-    optimize_intrinsics: bool = False
-    intrinsics_optimization_interval: int = 10
-    do_surfel_updates: bool = True
-    parallel_ba: bool = True
-    use_pcg: bool = False
-    estimate_poses: bool = True
+    optimize_intrinsics: bool = False  # self-calibrate depth + color intrinsics during BA
+    intrinsics_optimization_interval: int = 10  # BA runs between intrinsics optimizations (after warmup)
+    do_surfel_updates: bool = True  # create/merge/delete surfels during BA (off = fixed map)
+    parallel_ba: bool = True  # queue BA iterations and drain them between frames (BA-thread analog)
+    use_pcg: bool = False  # final BA uses the global PCG Gauss-Newton solver
+    estimate_poses: bool = True  # run odometry (off = playback with given poses)
 
     # --- Memory ---
-    min_free_gpu_memory_mb: int = 250
+    min_free_gpu_memory_mb: int = 250  # merge redundant keyframes when free HBM drops below this
 
     # --- Loop detection ---
-    enable_loop_detection: bool = True
-    parallel_loop_detection: bool = True
-    loop_detection_image_frequency: float = 0.0
+    enable_loop_detection: bool = True  # BoW loop detection + pose-graph closure
+    parallel_loop_detection: bool = True  # run detection on a worker thread (results apply 1 keyframe late)
+    loop_detection_image_frequency: float = 0.0  # detection-image rate [Hz]; 0 derives fps/keyframe_interval
     loop_detection_vocabulary_path: str = ""
-    loop_detection_images_width: int = 640
-    loop_detection_images_height: int = 480
+    loop_detection_images_width: int = 640  # detection images resized to this width
+    loop_detection_images_height: int = 480  # detection images resized to this height
 
     # Restore the reference's per-iteration BA convergence early exit at the
     # cost of a device->host sync per iteration (keep False on runtimes where
@@ -93,9 +93,9 @@ class BadSlamConfig:
     # --- TPU-native capacities (static shapes; no reference equivalent) ---
     max_keyframe_count: int = 512  # stacked keyframe array capacity
     surfel_bucket_base: int = 1 << 16  # map ops run on pow2-bucketed slices
-    keyframe_bucket_base: int = 8
+    keyframe_bucket_base: int = 8  # keyframe store grows in pow2 steps from this
     tracking_max_iterations: int = 30  # kMaxIterationsPerScale
-    device_dtype: str = "float32"
+    device_dtype: str = "float32"  # compute dtype for device arrays
 
     def pyramid_sizes(self, height: int, width: int):
         """Static (H, W) per scale, finest first."""

@@ -52,7 +52,10 @@ _HTML = """<!DOCTYPE html>
   <button onclick="control('step')">step</button>
   <button onclick="control('resume')">run</button>
   <span id="state"></span>
- </span></div>
+ </span>
+ <button onclick="toggleConfig()">config</button>
+ <pre id="cfg" style="display:none; max-height:70vh; overflow:auto;
+      background:#181818; padding:6px; border:1px solid #444"></pre></div>
 <div id="pick"></div>
 <div id="ims"></div>
 <canvas id="c"></canvas>
@@ -239,6 +242,24 @@ function frame(){
  requestAnimationFrame(frame);
 }
 
+async function toggleConfig(){
+  // Settings view (gui_settings_window analog — read-only: a headless
+  // run is configured by CLI flags, shown here verbatim).
+  const el = document.getElementById('cfg');
+  if (el.style.display === 'none'){
+    const inline = typeof CONFIG !== 'undefined' ? CONFIG : null;
+    if (inline) el.textContent = JSON.stringify(inline, null, 1);
+    else {
+      try {
+        const r = await fetch('config.json', {cache: 'no-store'});
+        el.textContent = JSON.stringify(await r.json(), null, 1);
+      } catch (e) { el.textContent = 'config.json unavailable'; }
+    }
+    el.style.display = 'block';
+  } else el.style.display = 'none';
+}
+const CONFIG = __CONFIG__;
+
 async function control(cmd){
   try {
     const r = await fetch('control?cmd=' + cmd, {cache: 'no-store'});
@@ -372,10 +393,14 @@ def export_html_viewer(slam, path: str, max_points: int = 400_000) -> None:
     """Write a self-contained HTML viewer of the current map + trajectory.
 
     End-of-run only: reads the full device state (like every export)."""
+    import dataclasses
+
     data = _snapshot_dict(slam, max_points)
+    cfg = json.dumps(dataclasses.asdict(slam.config))
     with open(path, "w") as f:
         f.write(_HTML.replace("__DATA__", json.dumps(data))
-                     .replace("__POLL_MS__", "0"))
+                     .replace("__POLL_MS__", "0")
+                     .replace("__CONFIG__", cfg))
 
 
 class LiveViewer:
@@ -404,7 +429,8 @@ class LiveViewer:
         os.makedirs(directory, exist_ok=True)
         with open(os.path.join(directory, "index.html"), "w") as f:
             f.write(_HTML.replace("__DATA__", "null")
-                         .replace("__POLL_MS__", str(poll_ms)))
+                         .replace("__POLL_MS__", str(poll_ms))
+                         .replace("__CONFIG__", "null"))
         if port is not None:
             self._start_server(port)
 
@@ -469,6 +495,12 @@ class LiveViewer:
 
     def snapshot(self, slam) -> None:
         """Write map_data.json atomically (tmp + rename)."""
+        cfgp = os.path.join(self.directory, "config.json")
+        if not os.path.exists(cfgp):
+            import dataclasses
+
+            with open(cfgp, "w") as f:
+                json.dump(dataclasses.asdict(slam.config), f, indent=1)
         self.generation += 1
         data = _snapshot_dict(slam, self.max_points, self.generation)
         path = os.path.join(self.directory, "map_data.json")
