@@ -326,8 +326,14 @@ class DirectBA:
         # kernels.cuh:69-93): grown pessimistically on creation (once per
         # BA epoch), resynced from the device once per BA call when
         # sync_surfel_bucket is on AND the backend tolerates readbacks.
+        # `prebudget_epochs(e)` pre-sizes the bound for the first e epochs
+        # up front (frontends with a known dataset length use it so the
+        # bucket — and therefore every BA program shape — is fixed for the
+        # whole run; each bucket growth is a full recompile of the fused
+        # BA programs, minutes each through the relay).
         self.known_surfel_bound = 0
         self._bound_epoch = -1
+        self._prebudgeted_epochs = 0
 
     @property
     def _stage_sync(self):
@@ -360,6 +366,22 @@ class DirectBA:
     def min_observation_count(self) -> int:
         """Bootstrapping-aware filter from the HOST-known keyframe count."""
         return self.config.min_observation_count_at(self.keyframes.count)
+
+    def prebudget_epochs(self, expected_keyframes: int) -> None:
+        """Pre-size the pessimistic surfel bound for a run with a known
+        keyframe budget: covers the first `expected_keyframes` BA epochs
+        (each adds at most count * cells, count <= e), exactly matching
+        what the incremental per-epoch growth would accumulate — so the
+        pow-2 bucket, and with it every fused BA program shape, is fixed
+        from the first frame. Epochs beyond the budget (final BA) resume
+        incremental growth."""
+        e = max(0, int(expected_keyframes))
+        cells = self._cells_per_keyframe()
+        self.known_surfel_bound = max(
+            self.known_surfel_bound,
+            min(cells * (e * (e + 1)) // 2, self.surfels.capacity),
+        )
+        self._prebudgeted_epochs = e
 
     def _cells_per_keyframe(self) -> int:
         c = self.config
@@ -553,7 +575,9 @@ class DirectBA:
         # parallel-BA mode drains several calls per epoch; growing per call
         # blew the bound to full capacity within a few keyframes.
         if self._bound_epoch != self.ba_iteration_count:
-            self.known_surfel_bound += ks.count * self._cells_per_keyframe()
+            if self.ba_iteration_count >= self._prebudgeted_epochs:
+                self.known_surfel_bound += (
+                    ks.count * self._cells_per_keyframe())
             self._bound_epoch = self.ba_iteration_count
         bucket = self._bucket_size(self.known_surfel_bound)
         full_map = self.surfels

@@ -103,11 +103,11 @@ def _steady_frame_fn(key):
      raw_to_float, num_scales, use_gradmag, baseline_fx, use_depth,
      use_descriptor, use_motion_model, max_iterations) = key
 
-    @functools.partial(jax.jit, static_argnames=("n",),
+    @functools.partial(jax.jit, static_argnames=("test_two",),
                        donate_argnums=(9, 10, 11, 12))
     def steady(cam, cams, base_pyr, depth_raw, rgb, a, cfactor,
                base_q, base_t, traj_q, traj_t, hist_q, hist_t, idx, *,
-               n: int):
+               test_two: bool):
         frame = preprocess_frame.__wrapped__(
             cam, depth_raw, rgb,
             max_depth=max_depth, sigma_xy=sigma_xy,
@@ -120,14 +120,18 @@ def _steady_frame_fn(key):
             num_scales, use_gradmag,
         )
         # Constant-motion model (PredictFramePose, bad_slam.cc:767-829).
+        # The history is identity-padded at reset, so the full 3-pose
+        # formula reduces exactly to the short-history cases — one program
+        # per duel mode instead of one per history length (each extra
+        # variant is a cold compile through the relay).
         last = se3.SE3(hist_q[2], hist_t[2])
-        if not use_motion_model or n < 2:
+        if not use_motion_model:
             e1 = e2 = last
         else:
             prev = se3.SE3(hist_q[1], hist_t[1])
             motion = se3.mul(se3.inverse(prev), last)
             e1 = se3.mul(last, motion)
-            if n >= 3:
+            if test_two:
                 pprev = se3.SE3(hist_q[0], hist_t[0])
                 pm = se3.mul(se3.inverse(pprev), prev)
                 e2 = se3.mul(prev, se3.mul(pm, pm))
@@ -139,7 +143,7 @@ def _steady_frame_fn(key):
             use_depth=use_depth,
             use_descriptor=use_descriptor,
             use_gradmag=use_gradmag,
-            test_two_initial_estimates=(use_motion_model and n >= 3),
+            test_two_initial_estimates=test_two,
             max_iterations=max_iterations,
         )
         g = se3.mul(se3.SE3(base_q, base_t), se3.SE3(res.q, res.t))
@@ -223,6 +227,21 @@ class BadSlam:
         # reads device state — set only for interactive runs, never when
         # benchmarking (PERF_NOTES.md).
         self.live_viewer = None
+
+        # Known-length dataset: pre-size the keyframe store and the surfel
+        # bound so NO array capacity grows mid-run. Every capacity/bucket
+        # growth re-specializes the fused frame/BA programs — a full
+        # recompile, minutes each through the TPU relay — so a 240-frame
+        # run used to pay ~10 such compiles; pre-sized it pays one set.
+        # Live streams (unknown length) keep dynamic pow-2 growth.
+        if (not hasattr(video, "wait_for_frame") and len(video) > 0
+                and config.keyframe_interval > 0):
+            frames = max(0, min(len(video), config.end_frame)
+                         - config.start_frame)
+            expected_kf = min(frames // config.keyframe_interval + 2,
+                              config.max_keyframe_count)
+            self.direct_ba.keyframes._ensure_capacity(expected_kf)
+            self.direct_ba.prebudget_epochs(expected_kf)
 
         # Fused steady-frame path eligibility + config signature (the
         # host-transform paths keep the unfused fallback).
@@ -427,7 +446,7 @@ class BadSlam:
             with Timing.time("frame (fused)"):
                 params = self.direct_ba.depth_params
                 base = self.base_kf_global_T_frame
-                n = min(self._hist_n, 3) if c.use_motion_model else 1
+                test_two = c.use_motion_model and self._hist_n >= 3
                 fn = _steady_frame_fn(self._steady_key)
                 (frame, pyramid, self.traj_q, self.traj_t, self._hist_q,
                  self._hist_t, gq, gt) = fn(
@@ -437,7 +456,7 @@ class BadSlam:
                     params.a, params.cfactor,
                     jnp.asarray(base.q), jnp.asarray(base.t),
                     self.traj_q, self.traj_t, self._hist_q, self._hist_t,
-                    jnp.int32(frame_index), n=n,
+                    jnp.int32(frame_index), test_two=test_two,
                 )
             global_T_frame = se3.SE3(gq, gt)
             self.has_pose[frame_index] = True
