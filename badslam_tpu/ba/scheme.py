@@ -121,13 +121,24 @@ def _iteration_core(
     do_surfel_updates: bool,
     optimize_poses: bool,
     pose_iterations: int,
+    activate_all: bool = False,
 ):
     """One alternating-BA iteration (BundleAdjustmentAlternating body,
     direct_ba_alternating.cc:345-626) as pure traced computation; wrapped
     by `_ba_iteration` (single program) and `_ba_iterations` (device
-    while_loop over iterations with read-free convergence exit)."""
+    while_loop over iterations with read-free convergence exit).
+
+    With `activate_all` (disable_deactivation=true, the reference DEFAULT:
+    bad_slam.cc:268-269 passes window [0, K-1], and
+    direct_ba_alternating.cc:355-372 then re-activates every keyframe at
+    the START of every iteration), all valid keyframes participate in every
+    iteration; pose opt's moved-based re-activation still runs afterwards,
+    which is what the all-converged early exit observes."""
     from badslam_tpu.mapping.keyframes import KeyframeStack
 
+    if activate_all:
+        activation = jnp.where(valid, jnp.int32(kfs.ACTIVE),
+                               jnp.int32(kfs.INACTIVE))
     newly_active = valid & (activation == kfs.ACTIVE) & (last_active != ba_iter)
     newly_covis = (
         valid & (activation == kfs.COVISIBLE_ACTIVE) & (last_covis != ba_iter)
@@ -194,7 +205,8 @@ def _iteration_core(
 
 _BA_STATICS = ("baseline_fx", "cell_size", "merge_dist_factor",
                "use_depth", "use_descriptor", "optimize_geometry",
-               "do_surfel_updates", "optimize_poses", "pose_iterations")
+               "do_surfel_updates", "optimize_poses", "pose_iterations",
+               "activate_all")
 
 
 @functools.partial(jax.jit, static_argnames=_BA_STATICS, donate_argnums=(0,))
@@ -235,6 +247,13 @@ def _ba_iterations(smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s,
             q, t, valid, act, la, lc, covis, ba_iter, min_obs, **statics)
         return (i + 1, m, q, t, act, la, lc)
 
+    if statics.get("activate_all"):
+        # The while predicate runs BEFORE the first body; with the
+        # activate-all window the reference always enters iteration 0
+        # (re-activation happens at iteration start), so seed the loop
+        # with every valid keyframe active.
+        activation = jnp.where(valid, jnp.int32(kfs.ACTIVE),
+                               jnp.int32(kfs.INACTIVE))
     state = (jnp.int32(0), smap, q_s, t_s, activation, last_active,
              last_covis)
     i, smap, q_s, t_s, activation, last_active, last_covis = (
@@ -553,8 +572,14 @@ class DirectBA:
         optimize_depth_intrinsics: bool = False,
         optimize_color_intrinsics: bool = False,
         convergence_check: Optional[bool] = None,
+        activate_all: Optional[bool] = None,
     ) -> int:
         """Run the alternating scheme; returns iterations run.
+
+        `activate_all` re-activates EVERY keyframe at each iteration start
+        (the reference's disable_deactivation default, bad_slam.cc:268-269
+        -> direct_ba_alternating.cc:355-372; the parallel-BA thread always
+        runs this way, bad_slam.cc:1287-1288). Default: the config flag.
 
         Read-free by default: fixed `max_iterations` (plus host wall-clock
         `time_limit`), device masks for everything value-dependent. With
@@ -590,6 +615,8 @@ class DirectBA:
             self.perform_ba_scheme_end_tasks(do_surfel_updates)
 
         fixed_window = active_keyframe_window is not None
+        if activate_all is None:
+            activate_all = c.disable_deactivation and not fixed_window
 
         # Reset surfel active flags for this BA block
         # (direct_ba_alternating.cc:338).
@@ -633,6 +660,7 @@ class DirectBA:
                     do_surfel_updates=do_surfel_updates,
                     optimize_poses=optimize_poses,
                     pose_iterations=30,
+                    activate_all=activate_all,
                 )
             iterations_done = max_iterations  # host upper bound (read-free)
             max_iterations = 0                # skip the per-iteration loop
@@ -644,6 +672,9 @@ class DirectBA:
                 lo, hi = active_keyframe_window
                 ks.set_activation_window(lo, hi)
                 ks.propagate_covisible_active()
+
+            if activate_all:
+                ks.set_activation_window(0, ks.capacity - 1)
 
             if staged:
                 self._run_iteration_staged(
@@ -669,6 +700,8 @@ class DirectBA:
                         pose_iterations=30,
                     )
                     ks.q, ks.t = new_q, new_t
+                    # (activate_all is applied host-side above; the fused
+                    # statics path is only used by _ba_iterations)
 
             # --- intrinsics optimization ---
             if optimize_depth_intrinsics or optimize_color_intrinsics:

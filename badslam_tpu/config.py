@@ -95,7 +95,10 @@ class BadSlamConfig:
     surfel_bucket_base: int = 1 << 16  # map ops run on pow2-bucketed slices
     keyframe_bucket_base: int = 8  # keyframe store grows in pow2 steps from this
     tracking_max_iterations: int = 30  # kMaxIterationsPerScale
-    device_dtype: str = "float32"  # compute dtype for device arrays
+    # NOTE: no device_dtype knob. Keyframe planes and surfel state are f32
+    # by design (the reference packs u16 depth/half radius to save GPU
+    # memory, keyframe.h:50-237; on TPU, f32 planes avoid per-use unpack
+    # and bf16's 8 mantissa bits are too coarse for metric depth).
 
     def pyramid_sizes(self, height: int, width: int):
         """Static (H, W) per scale, finest first."""

@@ -217,6 +217,7 @@ class BadSlam:
         self.final_ba_done = False
         self.bundle_adjustment_counter = 0
         self.loop_closure_count = 0
+        self._warned_pcg_parallel = False
         # Parallel-BA mode: iterations queued at keyframes, drained a few
         # per frame between keyframes (the reference's BA-thread iteration
         # queue, bad_slam.h:301-325; on one chip JAX's async dispatch
@@ -559,7 +560,33 @@ class BadSlam:
                 )
                 self.bundle_adjustment_counter += 1
                 old_kq, old_kt = self._remember_keyframe_poses()
-                if c.parallel_ba:
+                if c.use_pcg and c.parallel_ba:
+                    # The reference refuses PCG in parallel mode
+                    # (bad_slam.cc:1273-1276: "not supported for real-time
+                    # running, using the alternating solver instead").
+                    if not self._warned_pcg_parallel:
+                        from badslam_tpu.utils.logging import warning
+
+                        warning(
+                            "use_pcg is not supported with parallel_ba; "
+                            "using the alternating solver (run with "
+                            "--parallel_ba false for live PCG)")
+                        self._warned_pcg_parallel = True
+                if c.use_pcg and not c.parallel_ba:
+                    # Sequential per-keyframe PCG BA (bad_slam.cc:485-525
+                    # passes config_.use_pcg into BundleAdjustment).
+                    from badslam_tpu.ba.pcg import pcg_bundle_adjustment
+
+                    with Timing.time("bundle adjustment (PCG)"):
+                        pcg_bundle_adjustment(
+                            self.direct_ba,
+                            max_iterations=min(
+                                c.max_num_ba_iterations_per_keyframe, 10),
+                            optimize_intrinsics=(
+                                opt_intr and c.use_geometric_residuals),
+                            do_surfel_updates=c.do_surfel_updates,
+                        )
+                elif c.parallel_ba:
                     # Run a couple of iterations now, queue the rest to be
                     # drained between frames.
                     with Timing.time("bundle adjustment"):

@@ -59,6 +59,12 @@ def save_state(slam, path: str) -> None:
         base_kf_hist_q=hist_q, base_kf_hist_t=hist_t,
         last_frame_index=np.int64(slam.last_frame_index),
         ba_counter=np.int64(slam.bundle_adjustment_counter),
+        # Parallel-BA drain queue + closure counter are host state that
+        # belongs in the snapshot (the reference persists its queued
+        # keyframes, io.cc:38-705); dropping them silently discarded
+        # queued BA work on resume.
+        queued_ba_iterations=np.int64(slam.queued_ba_iterations),
+        loop_closure_count=np.int64(slam.loop_closure_count),
         # depth params
         depth_a=np.asarray(slam.direct_ba.depth_params.a, np.float32),
         depth_cfactor=np.asarray(slam.direct_ba.depth_params.cfactor,
@@ -119,6 +125,9 @@ def load_state(path: str, video) -> "BadSlam":
     slam.has_pose[:m] = has[:m]
     slam.last_frame_index = int(z["last_frame_index"])
     slam.bundle_adjustment_counter = int(z["ba_counter"])
+    if "queued_ba_iterations" in z.files:  # absent in v1 snapshots
+        slam.queued_ba_iterations = int(z["queued_ba_iterations"])
+        slam.loop_closure_count = int(z["loop_closure_count"])
     slam.base_kf_tr_frame = [
         se3.SE3(jnp.array(z["base_kf_hist_q"][i]),
                 jnp.array(z["base_kf_hist_t"][i]))

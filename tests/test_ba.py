@@ -142,30 +142,53 @@ def test_ba_converges_and_early_exits():
     assert iters <= 3
 
 
+def _run_ba_variant(staged: bool, iters=4, disable_deactivation=False):
+    rng = np.random.default_rng(13)
+    cam, scene, ba = build_ba(rng)
+    ba.config.sync_stage_profiling = staged
+    ba.config.disable_deactivation = disable_deactivation
+    gt = [se3.identity(), synthetic.pose(tx=0.03, ty=0.01, rz=0.01)]
+    kf0 = add_rendered_keyframe(ba, cam, scene, gt[0], 0)
+    ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False)
+    add_rendered_keyframe(ba, cam, scene, gt[1], 1)
+    pert = synthetic.pose(tx=0.004, ty=-0.003, rz=0.001)
+    ba.keyframes.set_pose(1, se3.mul(gt[1], pert))
+    ba.bundle_adjustment(max_iterations=iters)
+    return (np.asarray(ba.keyframes.q), np.asarray(ba.keyframes.t),
+            np.asarray(ba.keyframes.activation),
+            int(ba.surfel_count))
+
+
 def test_fused_iterations_match_staged_path():
     """The single-program while_loop BA (_ba_iterations) must produce the
-    same poses/activation as the per-stage dispatch path."""
+    same poses/activation as the per-stage dispatch path.
 
-    def run(staged: bool):
-        rng = np.random.default_rng(13)
-        cam, scene, ba = build_ba(rng)
-        ba.config.sync_stage_profiling = staged
-        gt = [se3.identity(), synthetic.pose(tx=0.03, ty=0.01, rz=0.01)]
-        kf0 = add_rendered_keyframe(ba, cam, scene, gt[0], 0)
-        ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False)
-        add_rendered_keyframe(ba, cam, scene, gt[1], 1)
-        pert = synthetic.pose(tx=0.004, ty=-0.003, rz=0.001)
-        ba.keyframes.set_pose(1, se3.mul(gt[1], pert))
-        ba.bundle_adjustment(max_iterations=4)
-        return (np.asarray(ba.keyframes.q), np.asarray(ba.keyframes.t),
-                np.asarray(ba.keyframes.activation),
-                int(ba.surfel_count))
+    Moved-based deactivation mode, 4 iterations: with activate-all
+    (disable_deactivation, the default) the fused path's device-side
+    convergence exit could stop before the staged loop (which has no
+    read-free way to exit), so the multi-iteration comparison pins the
+    moved-based mode; test_fused_matches_staged_activate_all covers the
+    activate-all statics for a single iteration."""
 
-    q_f, t_f, act_f, n_f = run(staged=False)
-    q_s, t_s, act_s, n_s = run(staged=True)
+    q_f, t_f, act_f, n_f = _run_ba_variant(staged=False)
+    q_s, t_s, act_s, n_s = _run_ba_variant(staged=True)
     # The staged path differs only in program structure, not math; the
     # while_loop adds a convergence exit which cannot fire here (the
     # perturbed keyframe stays active for these few iterations).
+    np.testing.assert_allclose(q_f, q_s, atol=1e-6)
+    np.testing.assert_allclose(t_f, t_s, atol=1e-6)
+    np.testing.assert_array_equal(act_f, act_s)
+    assert n_f == n_s
+
+
+def test_fused_matches_staged_activate_all():
+    """Activate-all (disable_deactivation) equivalence between the fused
+    statics path and the staged host-window path for one iteration (no
+    early exit possible)."""
+    q_f, t_f, act_f, n_f = _run_ba_variant(staged=False, iters=1,
+                                           disable_deactivation=True)
+    q_s, t_s, act_s, n_s = _run_ba_variant(staged=True, iters=1,
+                                           disable_deactivation=True)
     np.testing.assert_allclose(q_f, q_s, atol=1e-6)
     np.testing.assert_allclose(t_f, t_s, atol=1e-6)
     np.testing.assert_array_equal(act_f, act_s)
@@ -182,3 +205,44 @@ def test_fused_iterations_device_early_exit():
     add_rendered_keyframe(ba, cam, scene, synthetic.pose(tx=0.02), 1)
     ba.bundle_adjustment(max_iterations=10)
     assert int(jnp.sum(ba.keyframes.active_mask(False))) == 0
+
+
+def test_disable_deactivation_controls_ba_scope():
+    """disable_deactivation=true (reference DEFAULT, bad_slam_config.h:194)
+    re-activates EVERY keyframe at each BA iteration start
+    (bad_slam.cc:268-269 -> direct_ba_alternating.cc:355-372), so even an
+    inactive, non-covisible keyframe gets optimized; with the flag off it
+    must stay untouched."""
+    def run(disable_deactivation: bool):
+        rng = np.random.default_rng(21)
+        cam, scene, ba = build_ba(rng)
+        ba.config.disable_deactivation = disable_deactivation
+        gt0 = se3.identity()
+        kf0 = add_rendered_keyframe(ba, cam, scene, gt0, 0)
+        ba.create_surfels_for_keyframe(kf0, filter_new_surfels=False)
+        add_rendered_keyframe(ba, cam, scene, synthetic.pose(tx=0.02), 1)
+        # A spatially separate keyframe: its frustum does not intersect the
+        # first cluster, so covisibility cannot re-activate kf0/kf1.
+        far_scene = synthetic.PlaneScene(
+            scene.points + np.array([50.0, 0, 0], np.float32), scene.normals)
+        kf2 = add_rendered_keyframe(ba, cam, far_scene,
+                                    synthetic.pose(tx=50.0), 2)
+
+        # Perturb kf0, then mark only kf2 active (the "new keyframe" state).
+        pert = synthetic.pose(tx=0.004, ty=-0.003, rz=0.001)
+        ba.keyframes.set_pose(kf0, se3.mul(gt0, pert))
+        import jax.numpy as jnp2
+        act = np.full(ba.keyframes.capacity, 0, np.int32)
+        act[kf2] = 2  # ACTIVE
+        ba.keyframes.activation = jnp2.array(act)
+        before = np.concatenate([np.asarray(ba.keyframes.q[kf0]),
+                                 np.asarray(ba.keyframes.t[kf0])])
+        ba.bundle_adjustment(max_iterations=2, do_surfel_updates=False)
+        after = np.concatenate([np.asarray(ba.keyframes.q[kf0]),
+                                np.asarray(ba.keyframes.t[kf0])])
+        return float(np.abs(after - before).max())
+
+    moved_on = run(disable_deactivation=True)
+    moved_off = run(disable_deactivation=False)
+    assert moved_off == 0.0, moved_off      # inactive + non-covisible: frozen
+    assert moved_on > 1e-5, moved_on        # activate-all: optimized

@@ -103,3 +103,33 @@ def test_memory_stats_api():
     assert stats is None or isinstance(stats, dict)
     assert free is None or free > 0
     assert isinstance(format_memory_usage(), str)
+
+
+def test_no_inert_config_fields():
+    """Every BadSlamConfig field must be consumed somewhere outside
+    config.py (or via a config helper that is). Guards against silently
+    inert flags (round-2 verdict: disable_deactivation/device_dtype)."""
+    import dataclasses
+    import pathlib
+
+    import badslam_tpu
+    from badslam_tpu.config import BadSlamConfig
+
+    pkg = pathlib.Path(badslam_tpu.__file__).parent
+    src = "".join(
+        p.read_text() for p in pkg.rglob("*.py") if p.name != "config.py"
+    )
+    # Fields consumed through a config.py helper method; the helper itself
+    # must be used outside config.py.
+    via_helper = {
+        "min_observation_count_while_bootstrapping_1":
+            "min_observation_count_at",
+        "min_observation_count_while_bootstrapping_2":
+            "min_observation_count_at",
+    }
+    missing = []
+    for f in dataclasses.fields(BadSlamConfig):
+        probe = via_helper.get(f.name, f.name)
+        if probe not in src:
+            missing.append(f.name)
+    assert not missing, f"inert config fields (no use outside config.py): {missing}"

@@ -36,7 +36,9 @@ def test_cli_end_to_end(tmp_path):
     _, est = load_tum_trajectory(est_path)
     assert len(est) == len(gt)
     rmse = syn.ate_rmse(est, gt)
-    assert rmse < 0.01, rmse
+    # ~10x the measured value (bench slam_ate ~1.2e-4) so regressions trip
+    # (the former 0.01 bound let a 10x regression pass).
+    assert rmse < 1e-3, rmse
     assert os.path.getsize(ply_path) > 1000
 
     # The standalone evaluation harness agrees (tools/evaluate_ate.py:

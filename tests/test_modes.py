@@ -15,10 +15,12 @@ def _run(path, cam, scene, gt, **cfg_kw):
     synthetic.write_tum_dataset(
         path, cam, scene, gt,
         distortion=cfg_kw.pop("distortion", None))
-    cfg = BadSlamConfig(num_scales=3, max_surfel_count=1 << 13,
-                        keyframe_interval=6,
-                        max_num_ba_iterations_per_keyframe=0,
-                        enable_loop_detection=False, **cfg_kw)
+    defaults = dict(num_scales=3, max_surfel_count=1 << 13,
+                    keyframe_interval=6,
+                    max_num_ba_iterations_per_keyframe=0,
+                    enable_loop_detection=False)
+    defaults.update(cfg_kw)
+    cfg = BadSlamConfig(**defaults)
     video = load_tum_dataset(path)
     slam = BadSlam(cfg, video)
     slam.run(progress=False)
@@ -80,3 +82,16 @@ def test_radtan_render_matches_pinhole_after_undistortion():
     assert ok.mean() > 0.9
     assert np.abs(d_un[sl] - d_true[sl])[ok].mean() < 5e-3
     assert np.abs(i_un[sl] - i_true[sl])[ok].mean() < 0.02
+
+
+def test_live_sequential_pcg_ba(tmp_path):
+    """--use_pcg --parallel_ba false runs the PCG solver during the live
+    per-keyframe BA (bad_slam.cc:485-525 passes config_.use_pcg into the
+    sequential BundleAdjustment; the parallel thread refuses PCG)."""
+    cam = synthetic.default_camera(96, 72)
+    scene = synthetic.random_plane_scene(np.random.default_rng(9), 4)
+    gt = synthetic.smooth_trajectory(13, scale=0.003)
+    ate = _run(str(tmp_path / "ds"), cam, scene, gt,
+               use_pcg=True, parallel_ba=False,
+               max_num_ba_iterations_per_keyframe=4)
+    assert ate < 2e-3, ate

@@ -44,6 +44,11 @@ def test_state_roundtrip_and_resume(tmp_path):
         np.asarray(slam2.frame_poses[8].t), half_pose, atol=1e-6)
     assert slam2.direct_ba.keyframes.count == slam.direct_ba.keyframes.count
     assert int(slam2.direct_ba.surfels.count) == int(slam.direct_ba.surfels.count)
+    # Host queue/counter state must survive the round-trip (parallel-BA
+    # work queued at the snapshot point resumes draining).
+    assert slam2.queued_ba_iterations == slam.queued_ba_iterations
+    assert slam2.loop_closure_count == slam.loop_closure_count
+    assert slam.queued_ba_iterations > 0  # fixture actually queued work
 
     slam2.run(start=9, end=18)
 
