@@ -71,12 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     # harvested from the config source comments.
     cfg = BadSlamConfig()
     helps = _config_help()
-    skip = {"loop_detection_vocabulary_path"}
     for f in dataclasses.fields(BadSlamConfig):
         name = f.name
         default = getattr(cfg, name)
-        if name in skip:
-            continue
         help_text = helps.get(name)
         if isinstance(default, bool):
             p.add_argument(f"--{name}", type=lambda s: s.lower() in

@@ -72,6 +72,8 @@ class BadSlamConfig:
     enable_loop_detection: bool = True  # BoW loop detection + pose-graph closure
     parallel_loop_detection: bool = True  # run detection on a worker thread (results apply 1 keyframe late)
     loop_detection_image_frequency: float = 0.0  # detection-image rate [Hz]; 0 derives fps/keyframe_interval
+    # Pre-trained binary vocabulary (.npz from tools/train_vocabulary.py);
+    # empty trains a vocabulary on the fly from the sequence's first keyframes
     loop_detection_vocabulary_path: str = ""
     loop_detection_images_width: int = 640  # detection images resized to this width
     loop_detection_images_height: int = 480  # detection images resized to this height
