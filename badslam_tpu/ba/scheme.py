@@ -222,19 +222,18 @@ def _ba_iteration(smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s,
         ba_iter, min_obs, **statics)
 
 
-@functools.partial(jax.jit, static_argnames=_BA_STATICS + ("max_iterations",),
-                   donate_argnums=(0,))
-def _ba_iterations(smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s,
-                   rgb_s, q_s, t_s, valid, activation, last_active,
-                   last_covis, covis, ba_iter, min_obs, *,
-                   max_iterations: int, **statics):
-    """Up to `max_iterations` BA iterations in ONE program, with the
-    reference's all-keyframes-converged early exit
-    (direct_ba_alternating.cc:692-701) evaluated ON DEVICE — read-free,
-    unlike the host-synced `sync_convergence_checks` path. A
-    lax.while_loop predicate (`i < max && any keyframe ACTIVE`) replaces
-    the reference's per-iteration host check; converged calls cost one
-    predicate evaluation instead of a full iteration."""
+def _iterations_while(smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s,
+                      rgb_s, q_s, t_s, valid, activation, last_active,
+                      last_covis, covis, ba_iter, min_obs,
+                      max_iterations: int, statics):
+    """Up to `max_iterations` BA iterations, with the reference's
+    all-keyframes-converged early exit (direct_ba_alternating.cc:692-701)
+    evaluated ON DEVICE — read-free, unlike the host-synced
+    `sync_convergence_checks` path. A lax.while_loop predicate
+    (`i < max && any keyframe ACTIVE`) replaces the reference's
+    per-iteration host check; converged calls cost one predicate
+    evaluation instead of a full iteration. Shared by the full-capacity
+    and keyframe-bucketed program wrappers."""
 
     def cond(state):
         i, _, _, _, act, _, _ = state
@@ -261,6 +260,48 @@ def _ba_iterations(smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s,
     return smap, q_s, t_s, activation, last_active, last_covis, i
 
 
+@functools.partial(jax.jit, static_argnames=_BA_STATICS + ("max_iterations",),
+                   donate_argnums=(0,))
+def _ba_iterations(smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s,
+                   rgb_s, q_s, t_s, valid, activation, last_active,
+                   last_covis, covis, ba_iter, min_obs, *,
+                   max_iterations: int, **statics):
+    """All iterations over the FULL keyframe capacity in one program."""
+    return _iterations_while(
+        smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s, rgb_s,
+        q_s, t_s, valid, activation, last_active, last_covis, covis,
+        ba_iter, min_obs, max_iterations, statics)
+
+
+@functools.partial(jax.jit, static_argnames=_BA_STATICS + ("max_iterations",),
+                   donate_argnums=(0,))
+def _ba_iterations_bucketed(smap, cam, sel, depth_s, nx_s, ny_s, radius2_s,
+                            intensity_s, rgb_s, q_s, t_s, valid, activation,
+                            last_active, last_covis, covis, ba_iter, min_obs,
+                            *, max_iterations: int, **statics):
+    """Keyframe-bucketed BA program: gather the live keyframes into a dense
+    pow-2 substack (`sel` [B] slot ids — live slots first, padded with
+    DISTINCT dead slot ids so the scatter back is an injection), run all
+    iterations on the [B] axis, scatter poses/activation/counters back.
+
+    This is the keyframe analog of the surfel high-water slice
+    (`_slice_map`): each fused iteration costs O(live keyframes), not
+    O(capacity) — the reference loops only over active keyframes
+    (direct_ba_alternating.cc:543-577). Gather/scatter cost one pass over
+    the planes per BA CALL, amortized over all iterations inside."""
+    g = lambda a: a[sel]
+    out = _iterations_while(
+        smap, cam, g(depth_s), g(nx_s), g(ny_s), g(radius2_s),
+        g(intensity_s), g(rgb_s), g(q_s), g(t_s), g(valid), g(activation),
+        g(last_active), g(last_covis), covis[sel][:, sel],
+        ba_iter, min_obs, max_iterations, statics)
+    smap, q_b, t_b, act_b, la_b, lc_b, i = out
+    return (smap,
+            q_s.at[sel].set(q_b), t_s.at[sel].set(t_b),
+            activation.at[sel].set(act_b),
+            last_active.at[sel].set(la_b), last_covis.at[sel].set(lc_b), i)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("baseline_fx", "cell_size", "merge_dist_factor",
@@ -272,6 +313,7 @@ def _scheme_end_tasks(
     cam,
     depth_s, nx_s, ny_s, radius2_s, intensity_s,
     q_s, t_s, valid, last_active, ba_iter, min_obs,
+    sel=None,
     *,
     baseline_fx: float,
     cell_size: int,
@@ -279,9 +321,16 @@ def _scheme_end_tasks(
     do_surfel_updates: bool,
 ):
     """PerformBASchemeEndTasks (direct_ba.cc:566-653) as one program:
-    final merge over this block's active keyframes + delete + compact."""
+    final merge over this block's active keyframes + delete + compact.
+    With `sel` the keyframe axis is gathered to the live bucket first
+    (inside this same program — no extra dispatches)."""
     from badslam_tpu.mapping.keyframes import KeyframeStack
 
+    if sel is not None:
+        (depth_s, nx_s, ny_s, radius2_s, intensity_s, q_s, t_s, valid,
+         last_active) = (a[sel] for a in (
+            depth_s, nx_s, ny_s, radius2_s, intensity_s, q_s, t_s, valid,
+            last_active))
     full_stack = KeyframeStack(
         depth_s, nx_s, ny_s, radius2_s, intensity_s, q_s, t_s, valid)
     if do_surfel_updates:
@@ -353,6 +402,14 @@ class DirectBA:
         self.known_surfel_bound = 0
         self._bound_epoch = -1
         self._prebudgeted_epochs = 0
+        # Per-BA-run timing rows (SetSaveTimings analog, direct_ba.h:382;
+        # rows mirror direct_ba_alternating.cc:630-688). The fused path
+        # writes one synced row per BA call; combine with
+        # sync_stage_profiling for true per-stage rows.
+        self.timings_stream = None
+
+    def set_save_timings(self, stream) -> None:
+        self.timings_stream = stream
 
     @property
     def _stage_sync(self):
@@ -385,6 +442,31 @@ class DirectBA:
     def min_observation_count(self) -> int:
         """Bootstrapping-aware filter from the HOST-known keyframe count."""
         return self.config.min_observation_count_at(self.keyframes.count)
+
+    def _keyframe_bucket(self):
+        """Gather plan for the keyframe-bucketed BA program: a [B] slot-id
+        array (live slots first, padded with distinct non-live ids), or
+        None to run at full capacity. Built from HOST metadata only
+        (count/free_slots — value-free).
+
+        Buckets only when B <= capacity/2: every distinct B is a fresh
+        compile of the fused program (minutes through the relay), and a
+        mostly-live store gains nothing from a gather pass."""
+        ks = self.keyframes
+        cap = ks.capacity
+        live = ks.live_count
+        if live == 0:
+            return None
+        b = max(1, self.config.keyframe_bucket_base)
+        while b < live:
+            b *= 2
+        if b > cap // 2:
+            return None
+        free = ks.free_slot_set
+        live_slots = [s for s in range(ks.count) if s not in free]
+        pad = [s for s in range(cap)
+               if s >= ks.count or s in free][: b - len(live_slots)]
+        return jnp.array(np.array(live_slots + pad, np.int32))
 
     def prebudget_epochs(self, expected_keyframes: int) -> None:
         """Pre-size the pessimistic surfel bound for a run with a known
@@ -451,7 +533,9 @@ class DirectBA:
 
     def perform_ba_scheme_end_tasks(self, do_surfel_updates: bool = True):
         """Final merge over this block's active KFs + delete + compact
-        (PerformBASchemeEndTasks, direct_ba.cc:566-653) — one program."""
+        (PerformBASchemeEndTasks, direct_ba.cc:566-653) — one program,
+        keyframe-bucketed like the iteration path (the delete pass counts
+        observations over every keyframe)."""
         ks = self.keyframes
         if ks.count == 0:
             return
@@ -462,6 +546,7 @@ class DirectBA:
             ks.q, ks.t, ks.valid, ks.last_active_iter,
             jnp.int32(self.ba_iteration_count),
             jnp.int32(self.min_observation_count()),
+            self._keyframe_bucket(),
             baseline_fx=c.baseline_fx,
             cell_size=c.sparse_surfel_cell_size,
             merge_dist_factor=c.surfel_merge_dist_factor,
@@ -502,12 +587,33 @@ class DirectBA:
 
     def _run_iteration_staged(
         self, optimize_geometry, do_surfel_updates, optimize_poses,
+        inner_iteration: int = 0,
     ) -> None:
         """One BA iteration as separate per-stage programs (profiling mode:
         each stage gets its own timer + optional sync). The default path is
         the fused single-program `_ba_iteration`."""
+        import contextlib
+
         c = self.config
         ks = self.keyframes
+        stream = self.timings_stream
+        if stream is not None:
+            stream.write(
+                f"BA_count {self.ba_iteration_count} inner_iteration "
+                f"{inner_iteration} keyframe_count {ks.live_count} "
+                f"surfel_bound {self.known_surfel_bound}\n")
+
+        @contextlib.contextmanager
+        def stage(name):
+            # Reference row names (direct_ba_alternating.cc:640-688); the
+            # trailing sync inside Timing.time makes the elapsed time real
+            # device time when sync_stage_profiling is on.
+            t0 = time.perf_counter()
+            with Timing.time(name, sync=self._stage_sync):
+                yield
+            if stream is not None:
+                ms = 1e3 * (time.perf_counter() - t0)
+                stream.write(f"{name.replace(' ', '_')} {ms:.3f}\n")
         create_mask, ks.last_active_iter, ks.last_covis_iter = (
             _begin_iteration_masks(
                 ks.valid, ks.activation, ks.last_active_iter,
@@ -516,10 +622,10 @@ class DirectBA:
         )
 
         if optimize_geometry and do_surfel_updates:
-            with Timing.time("BA surfel creation", sync=self._stage_sync):
+            with stage("BA surfel creation"):
                 self._create_surfels_masked(create_mask)
 
-        with Timing.time("BA surfel activation", sync=self._stage_sync):
+        with stage("BA surfel activation"):
             self.surfels = sf.update_surfel_activation(
                 self.surfels, self.cam,
                 ks.stack(ks.active_mask(include_covisible=False)),
@@ -530,7 +636,7 @@ class DirectBA:
         kstack = ks.stack(participating)
 
         if optimize_geometry:
-            with Timing.time("BA geometry optimization", sync=self._stage_sync):
+            with stage("BA geometry optimization"):
                 self.surfels = optimize_geometry_iteration(
                     self.surfels, self.cam, kstack,
                     baseline_fx=c.baseline_fx,
@@ -539,13 +645,13 @@ class DirectBA:
                 )
 
         if do_surfel_updates:
-            with Timing.time("BA surfel merge", sync=self._stage_sync):
+            with stage("BA surfel merge"):
                 self._merge_surfels_masked(create_mask)
-            with Timing.time("BA surfel compaction", sync=self._stage_sync):
+            with stage("BA surfel compaction"):
                 self.surfels = sf.compact_surfels(self.surfels)
 
         if optimize_poses:
-            with Timing.time("BA pose optimization", sync=self._stage_sync):
+            with stage("BA pose optimization"):
                 result = optimize_keyframe_poses(
                     self.surfels, self.cam, kstack,
                     baseline_fx=c.baseline_fx,
@@ -641,15 +747,20 @@ class DirectBA:
                 and not time_limit
                 and not (optimize_depth_intrinsics
                          or optimize_color_intrinsics)):
+            sel = self._keyframe_bucket()
             with Timing.time("BA iterations (fused)"):
-                (self.surfels, ks.q, ks.t, ks.activation,
-                 ks.last_active_iter, ks.last_covis_iter, _) = _ba_iterations(
-                    self.surfels, self.cam,
+                args = (self.surfels, self.cam) + (
+                    () if sel is None else (sel,)) + (
                     ks.depth, ks.nx, ks.ny, ks.radius2, ks.intensity,
                     ks.rgb, ks.q, ks.t, ks.valid, ks.activation,
                     ks.last_active_iter, ks.last_covis_iter, ks.covis,
                     jnp.int32(self.ba_iteration_count),
                     jnp.int32(self.min_observation_count()),
+                )
+                fn = _ba_iterations if sel is None else _ba_iterations_bucketed
+                (self.surfels, ks.q, ks.t, ks.activation,
+                 ks.last_active_iter, ks.last_covis_iter, _) = fn(
+                    *args,
                     max_iterations=max_iterations,
                     baseline_fx=c.baseline_fx,
                     cell_size=c.sparse_surfel_cell_size,
@@ -664,6 +775,17 @@ class DirectBA:
                 )
             iterations_done = max_iterations  # host upper bound (read-free)
             max_iterations = 0                # skip the per-iteration loop
+            if self.timings_stream is not None:
+                # One synced row per fused BA call (SetSaveTimings analog;
+                # per-stage rows need sync_stage_profiling). The sync is a
+                # block, not a value read — safe on the relay.
+                t0 = time.perf_counter()
+                jax.block_until_ready((ks.q, self.surfels.valid))
+                self.timings_stream.write(
+                    f"BA_count {self.ba_iteration_count} fused_iterations "
+                    f"{iterations_done} keyframe_count {ks.live_count} "
+                    f"surfel_bound {self.known_surfel_bound} sync_ms "
+                    f"{1e3 * (time.perf_counter() - t0):.3f}\n")
 
         start_time = time.perf_counter()
         for _ in range(max_iterations):
@@ -678,7 +800,8 @@ class DirectBA:
 
             if staged:
                 self._run_iteration_staged(
-                    optimize_geometry, do_surfel_updates, optimize_poses)
+                    optimize_geometry, do_surfel_updates, optimize_poses,
+                    inner_iteration=iterations_done - 1)
             else:
                 with Timing.time("BA iteration"):
                     (self.surfels, new_q, new_t, ks.activation,

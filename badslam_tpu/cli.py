@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write final surfel cloud as binary PLY")
     p.add_argument("--export_final_timings", default=None,
                    help="write the timing report to this path")
+    p.add_argument("--save_timings", default=None,
+                   help="stream per-BA-run timing rows to this file "
+                        "(reference --save_timings analog; combine with "
+                        "--sync_stage_profiling true for per-stage rows)")
     p.add_argument("--save_state", default=None,
                    help="write a full state snapshot (.npz) after the run")
     p.add_argument("--load_state", default=None,
@@ -194,6 +198,10 @@ def main(argv=None) -> int:
     else:
         slam = BadSlam(config, video)
         start = None
+    timings_file = None
+    if args.save_timings:
+        timings_file = open(args.save_timings, "w")
+        slam.direct_ba.set_save_timings(timings_file)
     live = None
     if args.live_viewer_dir:
         from badslam_tpu.viz.viewer import LiveViewer
@@ -245,6 +253,8 @@ def main(argv=None) -> int:
     if live is not None:
         live.snapshot(slam)  # final state
         live.close()
+    if timings_file is not None:
+        timings_file.close()
     if args.export_final_timings:
         Timing.save(args.export_final_timings)
     if not args.quiet:

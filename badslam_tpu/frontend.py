@@ -101,19 +101,22 @@ def _steady_frame_fn(key):
     """
     (max_depth, sigma_xy, radius_factor, sigma_inv_depth, cell_size,
      raw_to_float, num_scales, use_gradmag, baseline_fx, use_depth,
-     use_descriptor, use_motion_model, max_iterations) = key
+     use_descriptor, use_motion_model, max_iterations,
+     median_iterations) = key
 
     @functools.partial(jax.jit, static_argnames=("test_two",),
-                       donate_argnums=(9, 10, 11, 12))
-    def steady(cam, cams, base_pyr, depth_raw, rgb, a, cfactor,
-               base_q, base_t, traj_q, traj_t, hist_q, hist_t, idx, *,
-               test_two: bool):
+                       donate_argnums=(10, 11, 12, 13))
+    def steady(cam, cams, base_pyr, depth_raw, rgb, undistort_map, a,
+               cfactor, base_q, base_t, traj_q, traj_t, hist_q, hist_t,
+               idx, *, test_two: bool):
         frame = preprocess_frame.__wrapped__(
             cam, depth_raw, rgb,
             max_depth=max_depth, sigma_xy=sigma_xy,
             radius_factor=radius_factor, sigma_inv_depth=sigma_inv_depth,
             a=a, cfactor=cfactor, cell_size=cell_size,
+            undistort_map=undistort_map,
             raw_to_float_depth=raw_to_float,
+            median_iterations=median_iterations,
         )
         pyramid = build_pyramid.__wrapped__(
             frame.depth, frame.nx, frame.ny, frame.intensity,
@@ -177,6 +180,12 @@ class BadSlam:
             raise NotImplementedError(
                 "pyramid_level_for_depth must equal pyramid_level_for_color")
         self.input_level = config.pyramid_level_for_depth
+        if (self.input_level > 0
+                and config.median_filter_and_densify_iterations > 0):
+            # Matches the reference FATAL (bad_slam.cc:671-673).
+            raise NotImplementedError(
+                "simultaneous downscaling and median filtering of depth "
+                "maps is not implemented (as in the reference)")
         if self.input_level > 0:
             if getattr(video, "undistortion_map", None) is not None:
                 raise NotImplementedError(
@@ -244,14 +253,14 @@ class BadSlam:
             self.direct_ba.keyframes._ensure_capacity(expected_kf)
             self.direct_ba.prebudget_epochs(expected_kf)
 
-        # Fused steady-frame path eligibility + config signature (the
-        # host-transform paths keep the unfused fallback).
+        # Fused steady-frame path eligibility + config signature. The
+        # undistortion remap and the median filter run INSIDE the fused
+        # program (real ETH3D/TUM datasets are distorted — keeping them on
+        # the one-program path is the difference between ~3 programs/frame
+        # and 1 on the relay); only input pyramid levels (host downscale)
+        # keep the unfused fallback.
         c = config
-        self._steady_ok = (
-            self.input_level == 0
-            and c.median_filter_and_densify_iterations == 0
-            and self._undistort_map is None
-        )
+        self._steady_ok = self.input_level == 0
         self._steady_key = (
             c.max_depth, c.bilateral_filter_sigma_xy,
             c.bilateral_filter_radius_factor,
@@ -261,6 +270,7 @@ class BadSlam:
             c.use_geometric_residuals,
             c.use_photometric_residuals and not c.use_gradmag,
             c.use_motion_model, c.tracking_max_iterations,
+            c.median_filter_and_densify_iterations,
         )
 
         self.loop_detector = None
@@ -339,35 +349,28 @@ class BadSlam:
         c = self.config
         depth_u16 = self.video.depth_u16(frame_index)
         rgb = self.video.color_u8(frame_index)
-        # Upload raw u16; the metric conversion happens inside
-        # preprocess_frame on device (raw_to_float kwarg below). Paths that
-        # transform depth on the way (input pyramid levels, median filter)
-        # convert here instead.
+        # Upload raw u16; the metric conversion (and undistortion + median
+        # filtering) happens inside preprocess_frame on device. Input
+        # pyramid levels transform on the host and convert here instead.
         raw_to_float = c.raw_to_float_depth
-        host_transform = (self.input_level > 0
-                          or c.median_filter_and_densify_iterations > 0)
-        if host_transform:
-            depth = jnp.array(depth_u16.astype(np.float32)
-                              * c.raw_to_float_depth)
-            raw_to_float = None
-        else:
-            depth = jnp.array(depth_u16)
         if self.input_level > 0:
+            # Host-side input-pyramid downscale (the reference FATALs on
+            # combining it with the median filter, bad_slam.cc:671-673).
             from badslam_tpu.ops.preprocess import (
                 downscale_color,
                 downscale_depth_median,
             )
 
+            depth = jnp.array(depth_u16.astype(np.float32)
+                              * c.raw_to_float_depth)
+            raw_to_float = None
             rgb_d = jnp.array(rgb)
             for _ in range(self.input_level):
                 depth = downscale_depth_median(depth)
                 rgb_d = downscale_color(rgb_d)
             rgb = rgb_d
-        if c.median_filter_and_densify_iterations > 0:
-            from badslam_tpu.ops.preprocess import median_filter_and_densify
-
-            for _ in range(c.median_filter_and_densify_iterations):
-                depth = median_filter_and_densify(depth)
+        else:
+            depth = jnp.array(depth_u16)
         params = self.direct_ba.depth_params
         frame = preprocess_frame(
             self.cam, depth, jnp.array(rgb),
@@ -380,6 +383,7 @@ class BadSlam:
             cell_size=c.sparse_surfel_cell_size,
             undistort_map=self._undistort_map,
             raw_to_float_depth=raw_to_float,
+            median_iterations=c.median_filter_and_densify_iterations,
         )
         pyramid = build_pyramid(
             frame.depth, frame.nx, frame.ny, frame.intensity, c.num_scales,
@@ -454,6 +458,7 @@ class BadSlam:
                     self.cam, self.cams_pyramid, self.base_kf_pyramid,
                     jnp.asarray(self.video.depth_u16(frame_index)),
                     jnp.asarray(self.video.color_u8(frame_index)),
+                    self._undistort_map,
                     params.a, params.cfactor,
                     jnp.asarray(base.q), jnp.asarray(base.t),
                     self.traj_q, self.traj_t, self._hist_q, self._hist_t,

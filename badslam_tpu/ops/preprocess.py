@@ -289,7 +289,8 @@ def compute_min_max_depth(depth: jax.Array) -> Tuple[jax.Array, jax.Array]:
 @functools.partial(jax.jit, static_argnames=("max_depth", "sigma_xy",
                                              "radius_factor", "sigma_inv_depth",
                                              "cell_size", "use_pallas",
-                                             "raw_to_float_depth"))
+                                             "raw_to_float_depth",
+                                             "median_iterations"))
 def preprocess_frame(
     cam: PinholeCamera,
     depth_metric: jax.Array,
@@ -304,6 +305,7 @@ def preprocess_frame(
     use_pallas: Optional[bool] = None,
     undistort_map: Optional[jax.Array] = None,
     raw_to_float_depth: Optional[float] = None,
+    median_iterations: int = 0,
 ) -> ProcessedFrame:
     """Full preprocessing pipeline for one frame — single fused XLA program.
 
@@ -313,6 +315,10 @@ def preprocess_frame(
     ([H, W, 2] source-pixel lookup from a distorted camera model) the frame
     is remapped to the pinhole model first (nearest for depth, bilinear for
     color — UndistortImage semantics, undistortion.h:40-58).
+    `median_iterations` runs the median-filter+densify passes ON DEVICE
+    (the reference does them on the CPU before upload, bad_slam.cc:650-666
+    with its own "TODO: Do this on the GPU"; the filter is scale-equivariant
+    so metric-vs-u16 input makes no difference).
     """
     if raw_to_float_depth is not None:
         # Raw u16 depth uploaded as-is; the scale conversion runs on device
@@ -322,6 +328,8 @@ def preprocess_frame(
         depth_metric = undistort_image(depth_metric, undistort_map,
                                        nearest=True)
         rgb = undistort_image(rgb.astype(jnp.float32), undistort_map)
+    for _ in range(median_iterations):
+        depth_metric = median_filter_and_densify(depth_metric)
     intensity = compute_brightness(rgb) if rgb.ndim == 3 else rgb
     if use_pallas is None:
         # Persisted autotune decision for this shape when available

@@ -56,3 +56,32 @@ def test_cli_end_to_end(tmp_path):
         est_path, os.path.join(path, "groundtruth.txt"), align="sim3")
     assert sim3["rmse"] <= stats["rmse"] + 1e-9
     assert abs(sim3["scale"] - 1.0) < 0.05
+
+
+def test_save_timings_rows(tmp_path):
+    """--save_timings streams per-BA-run rows (reference SetSaveTimings,
+    direct_ba_alternating.cc:630-688): fused rows by default, per-stage
+    rows with sync_stage_profiling."""
+    path = str(tmp_path / "dataset")
+    cam = syn.default_camera(96, 72)
+    scene = syn.random_plane_scene(np.random.default_rng(6), 4)
+    gt = syn.smooth_trajectory(13)
+    syn.write_tum_dataset(path, cam, scene, gt)
+
+    fused = str(tmp_path / "timings.txt")
+    rc = main([path, "--num_scales", "3", "--max_surfel_count", str(1 << 13),
+               "--keyframe_interval", "6", "--save_timings", fused,
+               "--quiet"])
+    assert rc == 0
+    rows = open(fused).read().splitlines()
+    assert any(r.startswith("BA_count ") and "keyframe_count" in r
+               for r in rows), rows
+
+    staged = str(tmp_path / "timings_staged.txt")
+    rc = main([path, "--num_scales", "3", "--max_surfel_count", str(1 << 13),
+               "--keyframe_interval", "6", "--save_timings", staged,
+               "--sync_stage_profiling", "true", "--quiet"])
+    assert rc == 0
+    srows = open(staged).read().splitlines()
+    assert any(r.startswith("BA_pose_optimization ") for r in srows), srows
+    assert any("inner_iteration" in r for r in srows)

@@ -19,10 +19,14 @@ def _run(path, cam, scene, gt, **cfg_kw):
                     keyframe_interval=6,
                     max_num_ba_iterations_per_keyframe=0,
                     enable_loop_detection=False)
+    expect_fused = cfg_kw.pop("expect_fused", None)
     defaults.update(cfg_kw)
     cfg = BadSlamConfig(**defaults)
     video = load_tum_dataset(path)
     slam = BadSlam(cfg, video)
+    if expect_fused is not None:
+        assert slam._steady_ok == expect_fused, (
+            "steady-frame fused-path eligibility mismatch")
     slam.run(progress=False)
     est = [p for p in slam.frame_poses if p is not None]
     assert len(est) == len(gt)
@@ -45,7 +49,19 @@ def test_undistortion_end_to_end(tmp_path):
     scene = synthetic.random_plane_scene(np.random.default_rng(8), 4)
     gt = synthetic.smooth_trajectory(13, scale=0.003)
     ate = _run(str(tmp_path / "ds"), cam, scene, gt,
-               distortion=(-0.08, 0.01))
+               distortion=(-0.08, 0.01), expect_fused=True)
+    assert ate < 2e-3, ate
+
+
+def test_median_filter_end_to_end(tmp_path):
+    """median_filter_and_densify_iterations > 0 runs INSIDE the fused
+    steady-frame program (the reference does it on the CPU pre-upload,
+    bad_slam.cc:650-666) and tracking still recovers the trajectory."""
+    cam = synthetic.default_camera(96, 72)
+    scene = synthetic.random_plane_scene(np.random.default_rng(8), 4)
+    gt = synthetic.smooth_trajectory(13, scale=0.003)
+    ate = _run(str(tmp_path / "ds2"), cam, scene, gt,
+               median_filter_and_densify_iterations=2, expect_fused=True)
     assert ate < 2e-3, ate
 
 
