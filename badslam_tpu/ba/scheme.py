@@ -407,9 +407,58 @@ class DirectBA:
         # writes one synced row per BA call; combine with
         # sync_stage_profiling for true per-stage rows.
         self.timings_stream = None
+        self._mesh = None
 
     def set_save_timings(self, stream) -> None:
         self.timings_stream = stream
+
+    # ------------------------------------------------------------------
+    # Multi-chip mesh (config.n_devices > 1): surfel-axis sharding
+    # ------------------------------------------------------------------
+
+    def _ba_mesh(self):
+        """jax Mesh for the integrated multi-chip BA mode, or None.
+        Cached; axis name "d" matches badslam_tpu.parallel.sharded."""
+        n = self.config.n_devices
+        if n is None or n <= 1:
+            return None
+        if self._mesh is None:
+            from jax.sharding import Mesh
+
+            devices = jax.devices()
+            if len(devices) < n:
+                raise RuntimeError(
+                    f"config.n_devices={n} but only {len(devices)} jax "
+                    f"devices are visible")
+            self._mesh = Mesh(np.array(devices[:n]), ("d",))
+        return self._mesh
+
+    def _shard_for_ba(self, ks=None):
+        """Place the surfel map sharded over the mesh's surfel axis and
+        (with `ks`) the keyframe store replicated — a no-op re-placement on
+        subsequent calls. The SAME fused BA programs then run SPMD: XLA's
+        partitioner inserts the psum/all-gather collectives (pose-opt H/b
+        reductions over surfel shards, creation/merge scatters), per the
+        annotate-shardings-and-let-XLA-partition recipe."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh
+        shard = NamedSharding(mesh, P("d"))
+        repl = NamedSharding(mesh, P())
+        self.surfels = jax.device_put(
+            self.surfels,
+            jax.tree.map(
+                lambda a: shard if getattr(a, "ndim", 0) >= 1 else repl,
+                self.surfels),
+        )
+        if ks is None:
+            return
+        for name in ("depth", "nx", "ny", "radius2", "intensity", "rgb",
+                     "q", "t", "valid", "activation", "covis",
+                     "last_active_iter", "last_covis_iter"):
+            arr = getattr(ks, name)
+            if arr is not None:
+                setattr(ks, name, jax.device_put(arr, repl))
 
     @property
     def _stage_sync(self):
@@ -699,6 +748,13 @@ class DirectBA:
         if ks.count == 0:
             return 0
 
+        # Multi-chip mode: place the FULL map + keyframe store on the mesh
+        # first so every downstream program (slice, iterations, scheme-end,
+        # write-back) sees a consistent device set.
+        mesh_on = self._ba_mesh() is not None
+        if mesh_on:
+            self._shard_for_ba(ks)
+
         # --- high-water working slice of the surfel map ---
         # Each valid keyframe creates surfels at most once per BA EPOCH
         # (last_active_iter is compared against ba_iteration_count), so the
@@ -748,6 +804,8 @@ class DirectBA:
                 and not (optimize_depth_intrinsics
                          or optimize_color_intrinsics)):
             sel = self._keyframe_bucket()
+            if mesh_on:
+                self._shard_for_ba()  # re-pin the sliced working view
             with Timing.time("BA iterations (fused)"):
                 args = (self.surfels, self.cam) + (
                     () if sel is None else (sel,)) + (

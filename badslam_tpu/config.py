@@ -93,6 +93,11 @@ class BadSlamConfig:
     sync_surfel_bucket: bool = True
 
     # --- TPU-native capacities (static shapes; no reference equivalent) ---
+    # Multi-chip BA: shard the surfel axis of the fused BA programs over
+    # this many devices (jax Mesh + XLA collectives over ICI); keyframe
+    # planes replicate. 0/1 = single device (the reference is single-GPU;
+    # this is the TPU scaling extension, SURVEY.md 2.9/5.8).
+    n_devices: int = 0
     max_keyframe_count: int = 512  # stacked keyframe array capacity
     surfel_bucket_base: int = 1 << 16  # map ops run on pow2-bucketed slices
     keyframe_bucket_base: int = 8  # keyframe store grows in pow2 steps from this

@@ -9,7 +9,7 @@ photometric cues, ground-truth poses perturbed and recovered.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -58,6 +58,59 @@ def intensity_at(points: np.ndarray) -> np.ndarray:
     v = np.clip(v, 0.0, 1.0)
     # Quantize to the u8 grid like real inputs.
     return np.floor(v * 255.0 + 0.5) / 255.0
+
+
+def textured_intensity_at(points: np.ndarray, cell: float = 0.05,
+                          seed: int = 0) -> np.ndarray:
+    """Blocky world-space albedo: constant within `cell`-sized 3D cells,
+    discontinuous across them — corner-rich so FAST/ORB find features
+    (the smooth sinusoid of `intensity_at` defeats corner detectors).
+    Deterministic integer hash per cell."""
+    c = np.floor(points / cell).astype(np.int64)
+    h = (c[..., 0] * 73856093) ^ (c[..., 1] * 19349663) \
+        ^ (c[..., 2] * 83492791) ^ (np.int64(seed) * 2654435761)
+    v = ((h ^ (h >> 13)) & 0xFFFF).astype(np.float64) / 65535.0
+    v = 0.15 + 0.7 * v
+    return np.floor(v * 255.0 + 0.5) / 255.0
+
+
+def room_scene(size: float = 3.0) -> PlaneScene:
+    """Box room: 6 inward-facing planes centered at the origin. A camera
+    near the center sees walls at ~size/2 in every direction — the fixture
+    for in-place loop trajectories (multi-wall revisiting scenes)."""
+    half = size / 2.0
+    pts = np.array([
+        [half, 0, 0], [-half, 0, 0],
+        [0, half, 0], [0, -half, 0],
+        [0, 0, half], [0, 0, -half],
+    ], np.float32)
+    normals = -pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+    return PlaneScene(pts, normals.astype(np.float32))
+
+
+def loop_trajectory(
+    num_frames: int,
+    loop_frames: Optional[int] = None,
+    orbit_radius: float = 0.15,
+    height_wobble: float = 0.03,
+) -> list:
+    """In-place revisiting trajectory: the camera yaws a full turn over
+    `loop_frames` frames while translating on a small circle (parallax),
+    then KEEPS GOING — frames past `loop_frames` re-observe the start
+    sector with all the drift the odometry accumulated. The organic
+    loop-closure fixture (reference validates closures on real revisiting
+    ETH3D sequences, README.md:162)."""
+    if loop_frames is None:
+        loop_frames = max(1, int(num_frames * 0.9))
+    poses = []
+    for i in range(num_frames):
+        th = 2.0 * np.pi * i / loop_frames
+        p = pose(ry=th)
+        t = np.array([orbit_radius * np.sin(th),
+                      height_wobble * np.sin(3.0 * th),
+                      orbit_radius * (np.cos(th) - 1.0)], np.float32)
+        poses.append(se3.SE3(p.q, t))
+    return poses
 
 
 def _np_quat_to_matrix(q: np.ndarray) -> np.ndarray:
@@ -110,16 +163,18 @@ def render_scene(
     cam: PinholeCamera,
     scene: PlaneScene,
     world_T_frame,
+    albedo=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Ray-cast the plane scene. Returns (depth [H,W] f32, intensity [H,W] f32).
 
     Depth is the z-depth of the nearest plane intersection in front of the
     camera; pixels hitting no plane get 0. Pure numpy on the host.
-    """
+    `albedo(points_world) -> [..,]` overrides the default smooth intensity
+    (e.g. textured_intensity_at for feature-rich images)."""
     ys, xs = np.mgrid[0 : cam.height, 0 : cam.width]
     dx = cam.fx_inv * xs + cam.cx_inv
     dy = cam.fy_inv * ys + cam.cy_inv
-    return _render_from_dirs(dx, dy, scene, world_T_frame)
+    return _render_from_dirs(dx, dy, scene, world_T_frame, albedo)
 
 
 def render_scene_radtan(rtcam, scene, world_T_frame, iterations: int = 10):
@@ -144,7 +199,7 @@ def render_scene_radtan(rtcam, scene, world_T_frame, iterations: int = 10):
     return _render_from_dirs(nx, ny, scene, world_T_frame)
 
 
-def _render_from_dirs(dx, dy, scene, world_T_frame):
+def _render_from_dirs(dx, dy, scene, world_T_frame, albedo=None):
     """Plane-scene ray-cast along per-pixel directions (dx, dy, 1)."""
     hp = _host_pose(world_T_frame)
     w2f = hp.inverse()
@@ -172,7 +227,7 @@ def _render_from_dirs(dx, dy, scene, world_T_frame):
     pts_cam = np.stack([depth * dx, depth * dy, depth], axis=-1)
     R_wf = _np_quat_to_matrix(hp.q)
     pts_world = pts_cam @ R_wf.T + hp.t
-    inten = intensity_at(pts_world).astype(np.float32)
+    inten = (albedo or intensity_at)(pts_world).astype(np.float32)
     inten = np.where(depth > 0, inten, 0.0)
     return depth, inten
 
@@ -359,14 +414,24 @@ def write_tum_dataset(
     raw_to_float_depth: float = 1.0 / 5000.0,
     write_gt: bool = True,
     distortion=None,  # optional (k1, k2[, p1, p2]) — write DISTORTED images
+    albedo=None,      # optional world-space intensity fn (textured scenes)
+    depth_noise: float = 0.0,      # sigma = depth_noise * d^2 [1/m] (stereo model)
+    intensity_noise: float = 0.0,  # additive gray-level sigma (u8 scale)
+    noise_seed: int = 0,
 ) -> None:
     """Write a synthetic TUM/ETH3D-format dataset directory: calibration.txt,
     associated.txt, rgb/depth 16-bit PNGs, optional groundtruth.txt.
     With `distortion`, images are rendered through the radtan model and
-    calibration.txt carries the extended "fx fy cx cy k1 k2 p1 p2" line."""
+    calibration.txt carries the extended "fx fy cx cy k1 k2 p1 p2" line.
+    `depth_noise`/`intensity_noise` add per-pixel sensor noise (the
+    quadratic depth-sigma model matches the association test's sigma,
+    cost_function.cuh:81-88) — clean renders barely drift, so noisy
+    datasets are what make loop-closure fixtures realistic."""
     import os
 
     import cv2
+
+    noise_rng = np.random.default_rng(noise_seed)
 
     rtcam = None
     if distortion is not None:
@@ -389,10 +454,21 @@ def write_tum_dataset(
         if rtcam is not None:
             depth, inten = render_scene_radtan(rtcam, scene, world_T_frame)
         else:
-            depth, inten = render_scene(cam, scene, world_T_frame)
+            depth, inten = render_scene(cam, scene, world_T_frame, albedo)
+        if depth_noise > 0:
+            sigma = depth_noise * depth * depth
+            depth = np.where(
+                depth > 0,
+                np.maximum(depth + sigma * noise_rng.standard_normal(
+                    depth.shape), 1e-3),
+                0.0,
+            ).astype(np.float32)
         depth_u16 = np.clip(depth / raw_to_float_depth, 0, 65535).astype(
             np.uint16
         )
+        if intensity_noise > 0:
+            inten = inten + (intensity_noise / 255.0) \
+                * noise_rng.standard_normal(inten.shape)
         gray = np.clip(inten * 255.0 + 0.5, 0, 255).astype(np.uint8)
         rgb = np.stack([gray, gray, gray], axis=-1)
         ts = f"{i / 30.0:.6f}"

@@ -105,3 +105,40 @@ def test_estimate_pose_sharded_psum(scene):
         se3.mul(se3.inverse(se3.SE3(q, t)), gt[1])
     )))
     assert err < 2e-4, err
+
+
+def test_integrated_mesh_ba_matches_single_device():
+    """config.n_devices=8 turns on the INTEGRATED multi-chip BA mode: the
+    same fused _ba_iterations program runs SPMD with the surfel axis
+    sharded over the mesh and keyframe planes replicated (XLA partitioner
+    inserts the collectives). Results must match single-device modulo
+    reduction order."""
+    import fixtures
+    import synthetic
+    from badslam_tpu.ba.scheme import DirectBA
+    from badslam_tpu.config import BadSlamConfig
+    from badslam_tpu.geometry import se3
+
+    def run(n_devices):
+        rng = np.random.default_rng(13)
+        cam = synthetic.default_camera(96, 72)
+        scene = synthetic.random_plane_scene(rng, 3)
+        cfg = BadSlamConfig(max_surfel_count=1 << 13, n_devices=n_devices)
+        ba = DirectBA(cam, cfg, surfel_capacity=1 << 13)
+        gt = [se3.identity(), synthetic.pose(tx=0.03, ty=0.01, rz=0.01)]
+        for i, g in enumerate(gt):
+            d, inten = synthetic.render_scene(cam, scene, g)
+            ba.add_keyframe(fixtures.frame_from_render(cam, d, inten), g, i)
+            if i == 0:
+                ba.create_surfels_for_keyframe(0, filter_new_surfels=False)
+        pert = synthetic.pose(tx=0.004, ty=-0.003, rz=0.001)
+        ba.keyframes.set_pose(1, se3.mul(gt[1], pert))
+        ba.bundle_adjustment(max_iterations=2)
+        return (np.asarray(ba.keyframes.q), np.asarray(ba.keyframes.t),
+                int(ba.surfels.count))
+
+    q1, t1, n1 = run(0)
+    q8, t8, n8 = run(8)
+    assert n1 == n8
+    np.testing.assert_allclose(q8, q1, atol=2e-5)
+    np.testing.assert_allclose(t8, t1, atol=2e-5)
