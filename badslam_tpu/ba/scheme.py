@@ -408,6 +408,7 @@ class DirectBA:
         # sync_stage_profiling for true per-stage rows.
         self.timings_stream = None
         self._mesh = None
+        self._kf_bucket_floor = 0
 
     def set_save_timings(self, stream) -> None:
         self.timings_stream = stream
@@ -506,7 +507,12 @@ class DirectBA:
         live = ks.live_count
         if live == 0:
             return None
-        b = max(1, self.config.keyframe_bucket_base)
+        # `_kf_bucket_floor` pins the bucket for runs with a known keyframe
+        # budget (prebudget_epochs): every distinct B is a fresh compile of
+        # the fused programs, so a pre-sized run keeps ONE shape for its
+        # whole length instead of walking the pow-2 ladder. Dynamic growth
+        # (and shrink after keyframe merging) applies otherwise.
+        b = max(1, self.config.keyframe_bucket_base, self._kf_bucket_floor)
         while b < live:
             b *= 2
         if b > cap // 2:
@@ -532,6 +538,13 @@ class DirectBA:
             min(cells * (e * (e + 1)) // 2, self.surfels.capacity),
         )
         self._prebudgeted_epochs = e
+        # Pin the keyframe bucket to the expected live count (see
+        # _keyframe_bucket: avoids one fused-program recompile per pow-2
+        # growth step during a known-length run).
+        b = 1
+        while b < e:
+            b *= 2
+        self._kf_bucket_floor = max(self._kf_bucket_floor, b)
 
     def _cells_per_keyframe(self) -> int:
         c = self.config

@@ -100,7 +100,7 @@ class BadSlamConfig:
     n_devices: int = 0
     max_keyframe_count: int = 512  # stacked keyframe array capacity
     surfel_bucket_base: int = 1 << 16  # map ops run on pow2-bucketed slices
-    keyframe_bucket_base: int = 8  # keyframe store grows in pow2 steps from this
+    keyframe_bucket_base: int = 8  # keyframe store + BA live-keyframe bucket grow in pow2 steps from this
     tracking_max_iterations: int = 30  # kMaxIterationsPerScale
     # NOTE: no device_dtype knob. Keyframe planes and surfel state are f32
     # by design (the reference packs u16 depth/half radius to save GPU

@@ -820,6 +820,27 @@ class BadSlam:
         self.base_kf_global_T_frame = ks.pose(self.base_kf_id)
         self.loop_closure_count += 1
 
+    def _apply_viewer_commands(self) -> None:
+        """Manual BA / densify requested from the live viewer's control
+        endpoint (gui_main_window.cc's manual-BA and densify actions).
+        Runs on the SLAM thread via wait_if_paused's on_wake hook."""
+        lv = self.live_viewer
+        if lv is None or not hasattr(lv, "take_commands"):
+            return
+        for cmd in lv.take_commands():
+            if cmd == "ba" and self.direct_ba.keyframes.count > 0:
+                old_kq, old_kt = self._remember_keyframe_poses()
+                self.direct_ba.bundle_adjustment(
+                    max_iterations=4,
+                    do_surfel_updates=self.config.do_surfel_updates,
+                )
+                self._apply_ba_pose_updates(old_kq, old_kt)
+                lv.snapshot(self)
+            elif cmd == "densify" and self.base_kf_id is not None:
+                self.direct_ba.create_surfels_for_keyframe(
+                    self.base_kf_id, filter_new_surfels=False)
+                lv.snapshot(self)
+
     def _remember_keyframe_poses(self) -> Tuple[jax.Array, jax.Array]:
         """Snapshot keyframe poses before BA (RememberKeyframePoses analog,
         trajectory_deformation.cc:33-58). Device arrays are immutable, so
@@ -899,7 +920,8 @@ class BadSlam:
             if self.live_viewer is not None:
                 # Run/pause/step from the live viewer's /control endpoint
                 # (the reference GUI's stepping, gui_main_window.cc).
-                self.live_viewer.wait_if_paused()
+                self.live_viewer.wait_if_paused(
+                    on_wake=self._apply_viewer_commands)
             t0 = time.perf_counter()
             preload.wait_until_done()
             if i + 1 < end:
@@ -939,7 +961,8 @@ class BadSlam:
         i = 0
         while video.wait_for_frame(i):
             if self.live_viewer is not None:
-                self.live_viewer.wait_if_paused()
+                self.live_viewer.wait_if_paused(
+                    on_wake=self._apply_viewer_commands)
             t0 = time.perf_counter()
             self.process_frame(i)
             video.clear_frame(i)

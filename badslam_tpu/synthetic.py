@@ -91,21 +91,22 @@ def room_scene(size: float = 3.0) -> PlaneScene:
 def loop_trajectory(
     num_frames: int,
     loop_frames: Optional[int] = None,
-    orbit_radius: float = 0.15,
+    orbit_radius: float = 0.8,
     height_wobble: float = 0.03,
 ) -> list:
-    """In-place revisiting trajectory: the camera yaws a full turn over
-    `loop_frames` frames while translating on a small circle (parallax),
-    then KEEPS GOING — frames past `loop_frames` re-observe the start
-    sector with all the drift the odometry accumulated. The organic
-    loop-closure fixture (reference validates closures on real revisiting
-    ETH3D sequences, README.md:162)."""
+    """Walking-loop revisiting trajectory: the camera travels a circle of
+    `orbit_radius`, facing its direction of travel (tangent), completing
+    the loop in `loop_frames` frames and then KEEPING GOING — frames past
+    `loop_frames` re-observe the start sector with all the drift the
+    odometry accumulated along the ~2*pi*r path. The organic loop-closure
+    fixture (the reference validates closures on real revisiting ETH3D
+    sequences, README.md:162)."""
     if loop_frames is None:
         loop_frames = max(1, int(num_frames * 0.9))
     poses = []
     for i in range(num_frames):
         th = 2.0 * np.pi * i / loop_frames
-        p = pose(ry=th)
+        p = pose(ry=th + np.pi / 2.0)  # camera +z along the tangent
         t = np.array([orbit_radius * np.sin(th),
                       height_wobble * np.sin(3.0 * th),
                       orbit_radius * (np.cos(th) - 1.0)], np.float32)
@@ -416,6 +417,7 @@ def write_tum_dataset(
     distortion=None,  # optional (k1, k2[, p1, p2]) — write DISTORTED images
     albedo=None,      # optional world-space intensity fn (textured scenes)
     depth_noise: float = 0.0,      # sigma = depth_noise * d^2 [1/m] (stereo model)
+    depth_bias: float = 0.0,       # systematic scale bias: d *= (1 + bias)
     intensity_noise: float = 0.0,  # additive gray-level sigma (u8 scale)
     noise_seed: int = 0,
 ) -> None:
@@ -455,6 +457,11 @@ def write_tum_dataset(
             depth, inten = render_scene_radtan(rtcam, scene, world_T_frame)
         else:
             depth, inten = render_scene(cam, scene, world_T_frame, albedo)
+        if depth_bias != 0.0:
+            # Uncorrected sensor miscalibration (what the reference's
+            # depth-deformation self-calibration models, util.cuh:62-79):
+            # makes odometry translation drift proportional to path length.
+            depth = depth * (1.0 + depth_bias)
         if depth_noise > 0:
             sigma = depth_noise * depth * depth
             depth = np.where(

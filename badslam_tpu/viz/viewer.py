@@ -51,12 +51,20 @@ _HTML = """<!DOCTYPE html>
   <button onclick="control('pause')">pause</button>
   <button onclick="control('step')">step</button>
   <button onclick="control('resume')">run</button>
+  <button onclick="control('ba')">BA</button>
+  <button onclick="control('densify')">densify</button>
   <span id="state"></span>
  </span>
  <button onclick="toggleConfig()">config</button>
+ <button onclick="screenshot()">screenshot</button>
  <pre id="cfg" style="display:none; max-height:70vh; overflow:auto;
       background:#181818; padding:6px; border:1px solid #444"></pre></div>
-<div id="pick"></div>
+<div id="pick" style="white-space:pre"></div>
+<div id="kfpanel" style="display:none; position:absolute; bottom:8px; right:8px;
+     z-index:2; text-align:right">
+ <img id="kfrgb" style="display:block; margin-bottom:4px; border:1px solid #a60">
+ <img id="kfdepth" style="display:block; border:1px solid #a60">
+</div>
 <div id="ims"></div>
 <canvas id="c"></canvas>
 <script>
@@ -110,7 +118,7 @@ function makeBuf(arr){ const b = gl.createBuffer();
 
 let posBuf=null, colBuf=null, nrmBuf=null, radBuf=null, trajBuf=null, kfBuf=null;
 let nPos=0, nTraj=0, nKf=0;
-let kfPos=null, kfIds=null, picked=-1;
+let kfPos=null, kfIds=null, kfPoses=null, kfPanels=null, picked=-1;
 let cx=0, cy=0, cz=0, haveCenter=false;
 
 function setData(DATA){
@@ -119,6 +127,8 @@ function setData(DATA){
   const traj = decode(DATA.traj, 'f32'), kf = decode(DATA.kf, 'f32');
   kfPos = decode(DATA.kf_pos, 'f32');
   kfIds = JSON.parse(atob(DATA.kf_ids));
+  kfPoses = DATA.kf_poses || null;
+  kfPanels = DATA.kf_panels || null;
   document.getElementById('np').textContent = pos.length / 3;
   document.getElementById('nk').textContent = DATA.kf_count;
   document.getElementById('nf').textContent = traj.length / 3;
@@ -176,8 +186,24 @@ function pick(mx, my){
     if (d < bestD){ bestD = d; best = k; }
   }
   picked = best;
-  document.getElementById('pick').textContent =
-    best < 0 ? '' : 'keyframe slot ' + kfIds[best][0] + ' · dataset frame ' + kfIds[best][1];
+  // Keyframe inspection dialog (gui_keyframe_dialog.cc analog): slot,
+  // dataset frame, pose, and the keyframe's RGB/colormapped-depth panels.
+  const el = document.getElementById('pick');
+  const kfp = document.getElementById('kfpanel');
+  if (best < 0){ el.textContent = ''; kfp.style.display = 'none'; return; }
+  let txt = 'keyframe slot ' + kfIds[best][0] + ' · dataset frame ' + kfIds[best][1];
+  if (kfPoses && kfPoses[best]){
+    const p = kfPoses[best];
+    txt += '\\n t = [' + p.slice(4).map(v => v.toFixed(4)).join(', ') + ']'
+         + '\\n q = [' + p.slice(0, 4).map(v => v.toFixed(5)).join(', ') + ']';
+  }
+  el.textContent = txt;
+  const slot = String(kfIds[best][0]);
+  if (kfPanels && kfPanels[slot]){
+    document.getElementById('kfrgb').src = 'data:image/png;base64,' + kfPanels[slot][0];
+    document.getElementById('kfdepth').src = 'data:image/png;base64,' + kfPanels[slot][1];
+    kfp.style.display = 'block';
+  } else kfp.style.display = 'none';
 }
 
 function mat(){
@@ -260,6 +286,22 @@ async function toggleConfig(){
 }
 const CONFIG = __CONFIG__;
 
+function screenshot(){
+  // Save-screenshot analog (gui_main_window.cc screenshot action): render
+  // one frame synchronously, then download the canvas as PNG.
+  const M = mat();
+  gl.clearColor(0.07,0.07,0.09,1); gl.enable(gl.DEPTH_TEST);
+  gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
+  gl.uniformMatrix4fv(locM, false, M);
+  draw(posBuf, colBuf, gl.POINTS, nPos, 0.0, null, true, nrmBuf, radBuf);
+  draw(trajBuf, null, gl.LINE_STRIP, nTraj, 1.0, [0.2,0.9,0.3], false);
+  draw(kfBuf, null, gl.LINES, nKf, 1.0, [0.95,0.6,0.1], false);
+  const a = document.createElement('a');
+  a.download = 'badslam_tpu_map.png';
+  a.href = canvas.toDataURL('image/png');
+  a.click();
+}
+
 async function control(cmd){
   try {
     const r = await fetch('control?cmd=' + cmd, {cache: 'no-store'});
@@ -329,15 +371,44 @@ def _snapshot_dict(slam, max_points: int = 400_000,
     ]) if any(p is not None for p in slam.frame_poses) else np.zeros((0, 3))
 
     ks = slam.direct_ba.keyframes
-    kf_lines, kf_pos, kf_ids = [], [], []
+    kf_lines, kf_pos, kf_ids, kf_poses = [], [], [], []
+    kf_panels = {}
     q_np = np.asarray(ks.q) if ks.q is not None else np.zeros((0, 4))
     t_np = np.asarray(ks.t) if ks.t is not None else np.zeros((0, 3))
     valid = np.asarray(ks.valid) if ks.valid is not None else np.zeros(0, bool)
+    # Per-keyframe inspection panels (gui_keyframe_dialog.cc analog):
+    # downscaled RGB + colormapped-depth from the device keyframe planes,
+    # one batched read per snapshot.
+    panels_ok = ks.count > 0 and ks.rgb is not None
+    if panels_ok:
+        try:
+            import cv2
+
+            rgb_all = np.asarray(ks.rgb[: ks.count])
+            depth_all = np.asarray(ks.depth[: ks.count])
+        except Exception:
+            panels_ok = False
     for i in range(ks.count):
         if valid[i]:
             kf_lines.append(_frustum_lines(q_np[i], t_np[i], slam.cam))
             kf_pos.append(t_np[i])
             kf_ids.append([int(i), int(ks.frame_indices[i])])
+            kf_poses.append([float(v) for v in q_np[i]]
+                            + [float(v) for v in t_np[i]])
+            if panels_ok and len(kf_panels) < 64:
+                step = max(1, rgb_all.shape[2] // 160)
+                rgb_s = rgb_all[i, ::step, ::step]
+                d = depth_all[i, ::step, ::step]
+                dmax = float(d.max()) or 1.0
+                d8 = np.clip(255.0 * d / dmax, 0, 255).astype(np.uint8)
+                dviz = cv2.applyColorMap(d8, cv2.COLORMAP_TURBO)
+                ok1, b1 = cv2.imencode(".png", rgb_s[..., ::-1])
+                ok2, b2 = cv2.imencode(".png", dviz)
+                if ok1 and ok2:
+                    kf_panels[str(i)] = [
+                        base64.b64encode(b1.tobytes()).decode(),
+                        base64.b64encode(b2.tobytes()).decode(),
+                    ]
     kf = (np.concatenate(kf_lines) if kf_lines
           else np.zeros((0, 3))).astype(np.float32)
     kf_pos = (np.stack(kf_pos) if kf_pos
@@ -385,6 +456,8 @@ def _snapshot_dict(slam, max_points: int = 400_000,
         kf_pos=b64(kf_pos, np.float32),
         kf_ids=base64.b64encode(json.dumps(kf_ids).encode()).decode(),
         kf_count=len(kf_ids),
+        kf_poses=kf_poses,
+        kf_panels=kf_panels,
         generation=generation,
     )
 
@@ -423,6 +496,8 @@ class LiveViewer:
         self.generation = 0
         self.paused = False
         self._step = threading.Event()
+        self._commands = []
+        self._cmd_lock = threading.Lock()
         self._keyframes_seen = 0
         self._server = None
         self.port = None
@@ -474,16 +549,42 @@ class LiveViewer:
             self._step.set()
         elif cmd == "step":
             self.paused = True
+            self._release_frame = True
             self._step.set()
+        elif cmd in ("ba", "densify"):
+            # Manual BA / densify actions (gui_main_window.cc menu
+            # actions): queued here, applied by the frame loop on the SLAM
+            # thread (never from the HTTP thread).
+            with self._cmd_lock:
+                self._commands.append(cmd)
+            self._step.set()  # release a paused loop so the command runs
         return "paused" if self.paused else "running"
 
-    def wait_if_paused(self) -> None:
+    def take_commands(self):
+        """Drain queued manual commands (called by frontend.run)."""
+        with self._cmd_lock:
+            cmds, self._commands = self._commands, []
+        return cmds
+
+    # Class-level defaults so partially-constructed instances (tests) and
+    # the control flow below agree.
+    _release_frame = False
+
+    def wait_if_paused(self, on_wake=None) -> None:
         """Called by frontend.run before each frame: blocks while paused;
-        a 'step' releases exactly one frame."""
+        a 'step' releases exactly one frame. `on_wake` (the frontend's
+        manual-command applier) runs whenever the loop wakes, so manual
+        BA/densify execute on the SLAM thread even while paused."""
+        if on_wake is not None:
+            on_wake()
         while self.paused:
             if self._step.wait(timeout=0.05):
                 self._step.clear()
-                return
+                if on_wake is not None:
+                    on_wake()
+                if self._release_frame or not self.paused:
+                    self._release_frame = False
+                    return
 
     # -- snapshots ------------------------------------------------------
 

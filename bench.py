@@ -116,6 +116,102 @@ def bench_slam(cam, scene) -> float:
     return SLAM_FRAMES / dt, ate
 
 
+def bench_slam_scaling() -> dict:
+    """Long-run evidence (round-2 verdict #1/#2): a 720-frame QVGA
+    revisiting loop through the FULL DEFAULT pipeline — loop detection ON
+    (organic: candidates are never injected), parallel BA ON, textured
+    room scene with sensor noise. Reports segment FPS at frames 100/250/
+    500/720 (BA cost growing with the live keyframe count shows up here),
+    the organic loop-closure count, final ATE, and the per-BA-iteration
+    device time at the final keyframe count.
+
+    All reads happen AFTER the timed region (host clocks +
+    block_until_ready only, PERF_NOTES.md)."""
+    import jax
+
+    from badslam_tpu import synthetic as syn
+    from badslam_tpu.config import BadSlamConfig
+    from badslam_tpu.frontend import BadSlam
+    from badslam_tpu.geometry import se3_np as s3
+
+    w, h = 320, 240
+    frames, loop_frames = 720, 660
+    cam = syn.default_camera(w, h)
+    scene = syn.room_scene(3.0)
+    gt = syn.loop_trajectory(frames, loop_frames=loop_frames)
+    cfg = BadSlamConfig(
+        num_scales=NUM_SCALES,
+        max_surfel_count=1 << 20,
+        loop_detection_images_width=w,
+        loop_detection_images_height=h,
+    )  # everything else: DEFAULTS (loop detection on, parallel BA on)
+
+    rng = np.random.default_rng(7)
+    depths, rgbs = [], []
+    for p in gt:
+        depth, inten = syn.render_scene(
+            cam, scene, p, albedo=lambda q: syn.textured_intensity_at(
+                q, cell=0.07))
+        sigma = 0.01 * depth * depth
+        depth = np.where(depth > 0, np.maximum(
+            depth + sigma * rng.standard_normal(depth.shape), 1e-3), 0.0)
+        depths.append(np.clip(depth / cfg.raw_to_float_depth, 0,
+                              65535).astype(np.uint16))
+        inten = inten + (3.0 / 255.0) * rng.standard_normal(inten.shape)
+        gray = np.clip(inten * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        rgbs.append(np.stack([gray, gray, gray], axis=-1))
+
+    marks = (100, 250, 500, frames)
+
+    def one_pass():
+        video = _InMemoryVideo(cam, depths, rgbs)
+        slam = BadSlam(cfg, video)
+        seg_t, t0 = [], time.perf_counter()
+        last_t, last_f = t0, 0
+        for i in range(len(video)):
+            slam.process_frame(i)
+            if i + 1 in marks:
+                jax.block_until_ready(slam.traj_q)
+                now = time.perf_counter()
+                seg_t.append((i + 1 - last_f) / (now - last_t))
+                last_t, last_f = now, i + 1
+        jax.block_until_ready(slam.traj_q)
+        return slam, seg_t, frames / (time.perf_counter() - t0)
+
+    one_pass()                        # warmup (compiles; cache persists)
+    slam, seg_fps, total_fps = one_pass()
+
+    # Per-BA-iteration time at the final keyframe count (read-free:
+    # block-synced wall time around single-iteration calls).
+    ba = slam.direct_ba
+    ba.bundle_adjustment(max_iterations=1)      # warm this variant
+    jax.block_until_ready(ba.keyframes.q)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        ba.bundle_adjustment(max_iterations=1)
+    jax.block_until_ready(ba.keyframes.q)
+    ba_iter_ms = 1e3 * (time.perf_counter() - t0) / reps
+
+    # Reads AFTER all timed regions.
+    traj_q, traj_t = np.asarray(slam.traj_q), np.asarray(slam.traj_t)
+    est = [s3.SE3(traj_q[i].astype(float), traj_t[i].astype(float))
+           for i in range(frames)]
+    ate = syn.ate_rmse(est, gt)
+    return {
+        "frames": frames,
+        "fps_at_100": round(seg_fps[0], 2),
+        "fps_at_250": round(seg_fps[1], 2),
+        "fps_at_500": round(seg_fps[2], 2),
+        "fps_at_end": round(seg_fps[3], 2),
+        "fps_total": round(total_fps, 2),
+        "live_keyframes": slam.direct_ba.keyframes.live_count,
+        "ba_iteration_ms": round(ba_iter_ms, 3),
+        "loop_closures": slam.loop_closure_count,
+        "ate_rmse_m": round(ate, 6),
+    }
+
+
 def bench_odometry(cam, scene) -> float:
     """Tracking-only loop FPS (round-1 metric, now at 30 iters/scale)."""
     import jax
@@ -214,6 +310,10 @@ def main() -> None:
 
     odo_fps = bench_odometry(cam, scene)
     slam_fps, slam_ate = bench_slam(cam, scene)
+    try:
+        long_run = bench_slam_scaling()
+    except Exception as e:  # the headline metric must still be reported
+        long_run = {"error": repr(e)[:200]}
 
     print(json.dumps({
         "metric": "slam_fps",
@@ -222,6 +322,7 @@ def main() -> None:
         "vs_baseline": round(slam_fps / 30.0, 3),
         "vga_odometry_fps": round(odo_fps, 2),
         "slam_ate_rmse_m": round(slam_ate, 8),
+        "long_run": long_run,
     }))
 
 

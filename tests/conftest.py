@@ -17,3 +17,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent XLA compile cache (same dir cli.py/bench.py use): repeated
+# suite runs skip recompiling the fused tracker/BA programs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/badslam_tpu/xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -116,6 +116,15 @@ def test_live_viewer_snapshot_and_http(tmp_path):
             data = json.load(f)
         assert data["generation"] >= 2  # updated DURING the run
         assert data["kf_count"] >= 2
+        # Per-keyframe inspection panels (gui_keyframe_dialog analog):
+        # every live keyframe ships a pose row + RGB/depth PNG pair.
+        assert len(data["kf_poses"]) == data["kf_count"]
+        assert len(data["kf_panels"]) == data["kf_count"]
+        for rgb_b64, depth_b64 in data["kf_panels"].values():
+            import base64
+
+            assert base64.b64decode(rgb_b64)[:4] == b"\x89PNG"
+            assert base64.b64decode(depth_b64)[:4] == b"\x89PNG"
         # Served over HTTP.
         body = urllib.request.urlopen(
             f"http://127.0.0.1:{live.port}/map_data.json", timeout=10).read()
@@ -129,6 +138,16 @@ def test_live_viewer_snapshot_and_http(tmp_path):
             f"http://127.0.0.1:{live.port}/control?cmd=resume",
             timeout=10).read()
         assert state == b"running" and not live.paused
+        # Manual BA + densify actions (gui_main_window.cc manual BA/densify
+        # analog): queued by /control, applied on the SLAM thread via the
+        # on_wake hook, each followed by a fresh snapshot.
+        gen_before = live.generation
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{live.port}/control?cmd=densify", timeout=10)
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{live.port}/control?cmd=ba", timeout=10)
+        live.wait_if_paused(on_wake=slam._apply_viewer_commands)
+        assert live.generation == gen_before + 2
     finally:
         live.close()
 
