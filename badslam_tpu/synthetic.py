@@ -418,6 +418,7 @@ def write_tum_dataset(
     albedo=None,      # optional world-space intensity fn (textured scenes)
     depth_noise: float = 0.0,      # sigma = depth_noise * d^2 [1/m] (stereo model)
     depth_bias: float = 0.0,       # systematic scale bias: d *= (1 + bias)
+    depth_bias_quadratic: float = 0.0,  # depth-dependent bias: d *= (1 + q*d)
     intensity_noise: float = 0.0,  # additive gray-level sigma (u8 scale)
     noise_seed: int = 0,
 ) -> None:
@@ -457,11 +458,13 @@ def write_tum_dataset(
             depth, inten = render_scene_radtan(rtcam, scene, world_T_frame)
         else:
             depth, inten = render_scene(cam, scene, world_T_frame, albedo)
-        if depth_bias != 0.0:
+        if depth_bias != 0.0 or depth_bias_quadratic != 0.0:
             # Uncorrected sensor miscalibration (what the reference's
-            # depth-deformation self-calibration models, util.cuh:62-79):
-            # makes odometry translation drift proportional to path length.
-            depth = depth * (1.0 + depth_bias)
+            # depth-deformation self-calibration models, util.cuh:62-79).
+            # NOTE: a GLOBAL scale bias only rescales the map (gauge-
+            # invisible to loop closure); the depth-DEPENDENT quadratic
+            # term warps the geometry and accumulates real odometry drift.
+            depth = depth * (1.0 + depth_bias + depth_bias_quadratic * depth)
         if depth_noise > 0:
             sigma = depth_noise * depth * depth
             depth = np.where(
