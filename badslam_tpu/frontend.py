@@ -225,7 +225,11 @@ class BadSlam:
         self.queued_ba_keyframes: List[int] = []
         self.final_ba_done = False
         self.bundle_adjustment_counter = 0
-        self.loop_closure_count = 0
+        # Device-resident closure counter: closures are verified and
+        # applied by a masked device program (read-free), so the host
+        # cannot know whether one landed without a read. Read via the
+        # loop_closure_count property — diagnostics/end-of-run only.
+        self._closure_count_dev = jnp.int32(0)
         self._warned_pcg_parallel = False
         # Parallel-BA mode: iterations queued at keyframes, drained a few
         # per frame between keyframes (the reference's BA-thread iteration
@@ -301,6 +305,17 @@ class BadSlam:
                 from badslam_tpu.loop.thread import LoopDetectionThread
 
                 self._loop_thread = LoopDetectionThread(self.loop_detector)
+
+    @property
+    def loop_closure_count(self) -> int:
+        """Number of applied loop closures. DEVICE READ — never call in
+        the steady loop on the axon runtime (PERF_NOTES.md); exports,
+        checkpoints, and post-run diagnostics only."""
+        return int(self._closure_count_dev)
+
+    @loop_closure_count.setter
+    def loop_closure_count(self, value: int) -> None:
+        self._closure_count_dev = jnp.int32(value)
 
     # ------------------------------------------------------------------
     # Trajectory accessors (device buffers; list view for export/state)
@@ -716,45 +731,50 @@ class BadSlam:
         )
 
     def _attempt_loop_closure(self, kf_id, matched_id, cur_T_matched_init):
-        from badslam_tpu.loop.detector import average_poses
-        from badslam_tpu.loop.trajectory import (
-            extrapolate_and_interpolate_keyframe_pose_changes,
-        )
-        from badslam_tpu.tracking.pairwise import track_frame_pairwise
+        """Verify and apply a loop-closure candidate WITHOUT device->host
+        reads (on the axon runtime one read permanently degrades the
+        session ~1000x, PERF_NOTES.md — and closures happen mid-run). The
+        host contributes only value-free metadata (temporal order, bracket
+        indices) and its own feature data; the 3-way refinement runs the
+        device tracker, and gates + pose graph + pose/trajectory update
+        run as ONE masked device program (loop/closure_device.py) — a
+        rejected closure leaves every pose bit-identical."""
+        from badslam_tpu.loop.closure_device import apply_closure
 
         c = self.config
         ks = self.direct_ba.keyframes
-        det = self.loop_detector
-
-        # Batched read of all keyframe poses (loop-closure path only).
-        q_np = np.array(ks.q)
-        t_np = np.array(ks.t)
-        kf_pose = lambda i: s3.SE3(q_np[i].astype(float),
-                                   t_np[i].astype(float))
 
         # Live keyframes in temporal order (slot order is not temporal once
         # slots are recycled by keyframe merging).
         order = ks.live_slots_in_time_order()
         if kf_id not in order or matched_id not in order:
             return
+        cur_pos = order.index(kf_id)
         matched_pos = order.index(matched_id)
 
         # Direct refinement vs matched and its temporally previous/next
-        # keyframes (loop_detector.cc:436-548).
+        # keyframes (loop_detector.cc:436-548). Initializations compose the
+        # host RANSAC estimate with DEVICE keyframe poses (no reads).
         neighbors = [order[j] for j in (matched_pos - 1, matched_pos,
                                         matched_pos + 1)
                      if 0 <= j < len(order) and order[j] != kf_id]
+        if len(neighbors) < 2:
+            return
+        init_host = se3.SE3(
+            jnp.asarray(np.asarray(cur_T_matched_init.q), jnp.float32),
+            jnp.asarray(np.asarray(cur_T_matched_init.t), jnp.float32),
+        )
         cur_pyr = self._keyframe_pyramid(kf_id)
-        cur_T_matched_refined = []
+        matched_pose = se3.SE3(ks.q[matched_id], ks.t[matched_id])
+        ref_q, ref_t, ref_valid = [], [], []
         for old in neighbors:
-            matched_T_old = s3.mul(s3.inverse(kf_pose(matched_id)),
-                                   kf_pose(old))
-            init = s3.mul(cur_T_matched_init, matched_T_old)
+            matched_T_old = se3.mul(
+                se3.inverse(matched_pose), se3.SE3(ks.q[old], ks.t[old]))
+            init = se3.mul(init_host, matched_T_old)
             old_pyr = self._keyframe_pyramid(old)
             res = track_frame_pairwise(
                 self.cams_pyramid, cur_pyr, old_pyr,
-                jnp.array(init.q, jnp.float32), jnp.array(init.t, jnp.float32),
-                jnp.array(init.q, jnp.float32), jnp.array(init.t, jnp.float32),
+                init.q, init.t, init.q, init.t,
                 baseline_fx=c.baseline_fx,
                 use_depth=c.use_geometric_residuals,
                 use_descriptor=(c.use_photometric_residuals
@@ -762,63 +782,48 @@ class BadSlam:
                 use_gradmag=c.use_gradmag,
                 max_iterations=c.tracking_max_iterations,
             )
-            cur_T_old = s3.SE3(np.asarray(res.q, float),
-                               np.asarray(res.t, float))
-            cur_T_matched_refined.append(
-                s3.mul(cur_T_old, s3.inverse(
-                    s3.mul(s3.inverse(kf_pose(matched_id)), kf_pose(old))))
-            )
+            cur_T_matched_i = se3.mul(
+                se3.SE3(res.q, res.t), se3.inverse(matched_T_old))
+            ref_q.append(cur_T_matched_i.q)
+            ref_t.append(cur_T_matched_i.t)
+            ref_valid.append(True)
+        while len(ref_q) < 3:  # static [3] refinement slots
+            ref_q.append(jnp.array([1.0, 0, 0, 0], jnp.float32))
+            ref_t.append(jnp.zeros(3, jnp.float32))
+            ref_valid.append(False)
 
-        if len(cur_T_matched_refined) < 2:
-            return
-        if not det.check_consistency(cur_T_matched_refined):
-            return
-        cur_T_matched = average_poses(cur_T_matched_refined)
+        # Current keyframe's keypoints (host feature store), padded to the
+        # detector's static capacity for the necessity gate.
+        det = self.loop_detector
+        pts_np = det.features[kf_id].points_local if det is not None \
+            else np.zeros((0, 3), np.float32)
+        cap = max(det.max_features if det is not None else 1, 1)
+        pts = np.zeros((cap, 3), np.float32)
+        pts_valid = np.zeros(cap, bool)
+        n = min(len(pts_np), cap)
+        pts[:n] = pts_np[:n]
+        pts_valid[:n] = True
 
-        # Necessity test (loop_detector.cc:624-666).
-        cur_T_global_estimate = s3.mul(
-            cur_T_matched, s3.inverse(kf_pose(matched_id)))
-        if not det.closure_needed(kf_id, cur_T_global_estimate,
-                                  kf_pose(kf_id)):
-            return
+        # Temporal order padded to a pow-2 bucket with the gauge vertex.
+        b = 8
+        while b < len(order):
+            b *= 2
+        order_arr = np.full(b, order[0], np.int32)
+        order_arr[: len(order)] = order
 
-        # Pose-graph optimization over the temporally-ordered live
-        # keyframes + apply + trajectory deformation.
-        ordered_poses = [kf_pose(s) for s in order]
-        new_ordered = det.close_loop(
-            order.index(kf_id), matched_pos, cur_T_matched, ordered_poses)
-        old_kf_T_global = [s3.inverse(p) for p in ordered_poses]
-
-        for pos, slot in enumerate(order):
-            q_np[slot] = np.asarray(new_ordered[pos].q, np.float32)
-            t_np[slot] = np.asarray(new_ordered[pos].t, np.float32)
-        ks.q = jnp.array(q_np)
-        ks.t = jnp.array(t_np)
-
-        # Batched trajectory read (loop-closure path only), host deformation,
-        # then one batched writeback into the device trajectory buffers.
-        traj_q_np = np.array(self.traj_q)
-        traj_t_np = np.array(self.traj_t)
-        host_frame_poses = [
-            s3.SE3(traj_q_np[i].astype(float), traj_t_np[i].astype(float))
-            if self.has_pose[i] else None
-            for i in range(traj_q_np.shape[0])
-        ]
-        deformed = extrapolate_and_interpolate_keyframe_pose_changes(
-            host_frame_poses,
-            [ks.frame_indices[s] for s in order],
-            old_kf_T_global,
-            new_ordered,
+        prev_slot, next_slot, alpha, kf_slot = self._bracket_arrays()
+        (ks.q, ks.t, self.traj_q, self.traj_t, self._closure_count_dev,
+         _ok) = apply_closure(
+            ks.q, ks.t, jnp.asarray(order_arr), jnp.int32(len(order)),
+            jnp.int32(cur_pos), jnp.int32(matched_pos),
+            jnp.stack(ref_q), jnp.stack(ref_t), jnp.asarray(ref_valid),
+            jnp.asarray(pts), jnp.asarray(pts_valid),
+            self.traj_q, self.traj_t,
+            prev_slot, next_slot, alpha, kf_slot,
+            self._closure_count_dev, self.cam,
         )
-        for i, p in enumerate(deformed):
-            if p is not None:
-                traj_q_np[i] = np.asarray(p.q, np.float32)
-                traj_t_np[i] = np.asarray(p.t, np.float32)
-        self.traj_q = jnp.array(traj_q_np)
-        self.traj_t = jnp.array(traj_t_np)
-        # Refresh the odometry anchor.
+        # Refresh the odometry anchor (device slice, not a read).
         self.base_kf_global_T_frame = ks.pose(self.base_kf_id)
-        self.loop_closure_count += 1
 
     def _apply_viewer_commands(self) -> None:
         """Manual BA / densify requested from the live viewer's control

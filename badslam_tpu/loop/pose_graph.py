@@ -123,6 +123,111 @@ def optimize_pose_graph(
     return poses
 
 
+# ---------------------------------------------------------------------------
+# Device pose graph (read-free loop closure)
+#
+# On the axon TPU runtime a single device->host value read permanently
+# degrades the session ~1000x (PERF_NOTES.md), so the host g2o-style solver
+# above cannot be fed device keyframe poses during a live run. This jitted
+# version runs the same chain+loop-edge Gauss-Newton entirely ON DEVICE:
+# dense 6n x 6n normal equations (n <= a few hundred keyframes — trivially
+# small for the MXU), vertex 0 held by a strong prior, loop-edge weight 0
+# turning the whole solve into an exact no-op (chain residuals are zero by
+# construction, so b = 0 and the damped solve returns delta = 0).
+# ---------------------------------------------------------------------------
+
+
+def _adjoint_dev(q, t):
+    """Batched SE3 adjoint [[R, [t]x R], [0, R]] (twist order [v, w])."""
+    import jax.numpy as jnp
+
+    from badslam_tpu.geometry import se3
+
+    R = se3.quat_to_matrix(q)                       # [..., 3, 3]
+    zeros = jnp.zeros_like(t[..., 0])
+    tx = jnp.stack([
+        jnp.stack([zeros, -t[..., 2], t[..., 1]], -1),
+        jnp.stack([t[..., 2], zeros, -t[..., 0]], -1),
+        jnp.stack([-t[..., 1], t[..., 0], zeros], -1),
+    ], -2)
+    top = jnp.concatenate([R, tx @ R], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)     # [..., 6, 6]
+
+
+def optimize_pose_graph_device(
+    q,            # [n, 4] temporally-ordered keyframe rotations
+    t,            # [n, 3]
+    n_live,       # [] i32: valid prefix length (padded rows inert)
+    loop_a,       # [] i32: loop edge source vertex (matched position)
+    loop_b,       # [] i32: loop edge target vertex (current position)
+    loop_zq,      # [4] measurement Z = X_a^-1 X_b (matched_T_cur)
+    loop_zt,      # [3]
+    loop_weight,  # [] f32: 0 disables the closure (exact no-op)
+    iterations: int = 20,
+):
+    """Traced chain+loop pose-graph GN; returns (q, t) optimized.
+
+    Chain measurements are taken from the INPUT poses (the reference's
+    odometry chain from current estimates, pose_graph_optimizer.cc:84-103),
+    so only the loop edge carries residual."""
+    import jax
+    import jax.numpy as jnp
+
+    from badslam_tpu.geometry import se3
+
+    n = q.shape[0]
+    X0 = se3.SE3(q, t)
+    # Chain measurements Z_i = X_i^-1 X_{i+1} from the input estimates.
+    chain_z = se3.mul(se3.inverse(se3.SE3(q[:-1], t[:-1])),
+                      se3.SE3(q[1:], t[1:]))
+    ia = jnp.concatenate([jnp.arange(n - 1, dtype=jnp.int32),
+                          jnp.asarray(loop_a, jnp.int32)[None]])
+    ib = jnp.concatenate([jnp.arange(1, n, dtype=jnp.int32),
+                          jnp.asarray(loop_b, jnp.int32)[None]])
+    zq = jnp.concatenate([chain_z.q, jnp.asarray(loop_zq)[None]])
+    zt = jnp.concatenate([chain_z.t, jnp.asarray(loop_zt)[None]])
+    w = jnp.concatenate([
+        (jnp.arange(n - 1) < n_live - 1).astype(jnp.float32),
+        jnp.asarray(loop_weight, jnp.float32)[None],
+    ])
+
+    def gn_step(_, qt):
+        cq, ct = qt
+        Xa = se3.SE3(cq[ia], ct[ia])
+        Xb = se3.SE3(cq[ib], ct[ib])
+        rel = se3.mul(se3.inverse(Xa), Xb)
+        err = se3.mul(se3.inverse(se3.SE3(zq, zt)), rel)
+        r = jax.vmap(se3.log)(err)                       # [E, 6]
+        inv_rel = se3.inverse(rel)
+        Ji = -_adjoint_dev(inv_rel.q, inv_rel.t)         # [E, 6, 6]
+        Jj = jnp.broadcast_to(jnp.eye(6), Ji.shape)
+
+        H = jnp.zeros((n, n, 6, 6), jnp.float32)
+        bv = jnp.zeros((n, 6), jnp.float32)
+        we = w[:, None, None]
+        JiT = jnp.swapaxes(Ji, -1, -2)
+        H = H.at[ia, ia].add(we * JiT @ Ji)
+        H = H.at[ia, ib].add(we * JiT @ Jj)
+        H = H.at[ib, ia].add(we * jnp.swapaxes(Jj, -1, -2) @ Ji)
+        H = H.at[ib, ib].add(we * jnp.swapaxes(Jj, -1, -2) @ Jj)
+        bv = bv.at[ia].add(w[:, None] * jnp.einsum("eij,ej->ei", JiT, r))
+        bv = bv.at[ib].add(w[:, None] * r)
+        # Gauge prior on vertex 0 + LM damping (padded vertices have b = 0,
+        # so damping pins their deltas at exactly zero).
+        H = H.at[0, 0].add(1e4 * jnp.eye(6))
+        Hd = (H.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
+              + 1e-5 * jnp.eye(6 * n))
+        delta = jnp.linalg.solve(Hd, -bv.reshape(-1)).reshape(n, 6)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        upd = jax.vmap(lambda p_q, p_t, d: se3.mul(
+            se3.SE3(p_q, p_t), se3.exp(d)))(cq, ct, delta)
+        return upd.q, upd.t
+
+    q_out, t_out = jax.lax.fori_loop(0, iterations, gn_step, (q, t))
+    return q_out, t_out
+
+
 def odometry_chain_edges(poses: List[s3.SE3]) -> List[PoseGraphEdge]:
     """EdgeSE3 chain from the current estimates
     (pose_graph_optimizer.cc:84-103)."""

@@ -289,3 +289,55 @@ def test_detection_thread_ownership_assertions():
     with pytest.raises(AssertionError):
         det.remove_keyframe(0)
     thread.stop()
+
+
+def test_device_pose_graph_matches_host():
+    """optimize_pose_graph_device (the read-free closure path) must agree
+    with the host g2o-style solver on a drifted circle with one loop
+    edge."""
+    import jax.numpy as jnp
+
+    from badslam_tpu.loop.pose_graph import (
+        PoseGraphEdge,
+        odometry_chain_edges,
+        optimize_pose_graph,
+        optimize_pose_graph_device,
+    )
+
+    gt = synthetic.loop_trajectory(160, loop_frames=150, orbit_radius=0.4)
+    kfs = [gt[i] for i in range(0, 160, 10)]
+    poses = []
+    drift = s3.SE3(np.array([1.0, 0, 0, 0]), np.zeros(3))
+    for p in kfs:
+        hp = s3.SE3(np.asarray(p.q, float), np.asarray(p.t, float))
+        poses.append(s3.mul(drift, hp))
+        drift = s3.mul(s3.exp(np.array([0.001, 0, 0.0005, 0, 0.0017, 0])),
+                       drift)
+    g15 = s3.SE3(np.asarray(kfs[15].q, float), np.asarray(kfs[15].t, float))
+    g0 = s3.SE3(np.asarray(kfs[0].q, float), np.asarray(kfs[0].t, float))
+    cur_T_matched = s3.mul(s3.inverse(g15), g0)
+    z = s3.inverse(cur_T_matched)
+
+    edges = odometry_chain_edges(poses)
+    edges.append(PoseGraphEdge(0, 15, z))
+    host = optimize_pose_graph(poses, edges, fixed=0, iterations=20)
+
+    q = jnp.asarray(np.stack([p.q for p in poses]), jnp.float32)
+    t = jnp.asarray(np.stack([p.t for p in poses]), jnp.float32)
+    dq, dt = optimize_pose_graph_device(
+        q, t, jnp.int32(16), jnp.int32(0), jnp.int32(15),
+        jnp.asarray(np.asarray(z.q), jnp.float32),
+        jnp.asarray(np.asarray(z.t), jnp.float32),
+        jnp.float32(1.0))
+    host_t = np.stack([np.asarray(p.t) for p in host])
+    np.testing.assert_allclose(np.asarray(dt), host_t, atol=2e-4)
+    # Zero loop weight: numerical no-op (chain residuals vanish by
+    # construction; apply_closure's gated write makes rejection
+    # bit-exact on top of this).
+    nq, nt = optimize_pose_graph_device(
+        q, t, jnp.int32(16), jnp.int32(0), jnp.int32(15),
+        jnp.asarray(np.asarray(z.q), jnp.float32),
+        jnp.asarray(np.asarray(z.t), jnp.float32),
+        jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(nq), np.asarray(q), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nt), np.asarray(t), atol=1e-6)
