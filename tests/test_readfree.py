@@ -102,3 +102,45 @@ def test_forbid_readbacks_fixture_actually_fires(forbid_readbacks):
         float(x[0])
     with pytest.raises(AssertionError):
         np.asarray(x)
+
+
+def test_loop_closure_application_is_readback_free(forbid_readbacks,
+                                                   monkeypatch):
+    """The closure path (refinement + gates + device pose graph +
+    deformation) must not read device values either — closures happen
+    MID-RUN, and one read permanently degrades the axon session
+    (the round-3 long-bench hang: np.array(ks.q) on a verified organic
+    candidate)."""
+    from badslam_tpu.ba import scheme
+    from badslam_tpu.geometry import se3_np as s3
+
+    monkeypatch.setattr(scheme, "_backend_tolerates_readbacks",
+                        lambda: False)
+    cfg = BadSlamConfig(
+        num_scales=3,
+        keyframe_interval=4,
+        max_num_ba_iterations_per_keyframe=2,
+        max_surfel_count=1 << 13,
+        tracking_max_iterations=8,
+        enable_loop_detection=True,
+        parallel_loop_detection=False,
+    )
+    rng = np.random.default_rng(4)
+    cam = syn.default_camera(96, 80)
+    scene = syn.random_plane_scene(rng, 3)
+    gt = syn.smooth_trajectory(13, scale=0.002)
+    video = _InMemoryVideo(cam, *_render_frames(cam, scene, gt,
+                                                cfg.raw_to_float_depth))
+    slam = BadSlam(cfg, video)
+    for i in range(len(video)):
+        slam.process_frame(i)
+
+    # Force a closure attempt against an early keyframe with a host-side
+    # initial alignment (the detector's own data path) — every device
+    # interaction downstream must be read-free.
+    order = slam.direct_ba.keyframes.live_slots_in_time_order()
+    assert len(order) >= 3
+    slam._attempt_loop_closure(
+        order[-1], order[0],
+        s3.SE3(np.r_[1.0, 0, 0, 0], np.zeros(3)))
+    jax.block_until_ready(slam.traj_q)
