@@ -117,11 +117,11 @@ def bench_slam(cam, scene) -> float:
 
 
 def bench_slam_scaling() -> dict:
-    """Long-run evidence (round-2 verdict #1/#2): a 720-frame QVGA
-    revisiting loop through the FULL DEFAULT pipeline — loop detection ON
+    """Long-run evidence (round-2 verdict #1/#2): a 500-frame QVGA
+    revisiting loop through the FULL default pipeline — loop detection ON
     (organic: candidates are never injected), parallel BA ON, textured
     room scene with sensor noise. Reports segment FPS at frames 100/250/
-    500/720 (BA cost growing with the live keyframe count shows up here),
+    400/500 (BA cost growing with the live keyframe count shows up here),
     the organic loop-closure count, final ATE, and the per-BA-iteration
     device time at the final keyframe count.
 
@@ -135,13 +135,21 @@ def bench_slam_scaling() -> dict:
     from badslam_tpu.geometry import se3_np as s3
 
     w, h = 320, 240
-    frames, loop_frames = 720, 660
+    # 500 frames -> 52 keyframes -> capacity 64. The K=128 fused-BA
+    # program (720 frames) hits an XLA compile cliff through the relay
+    # (hours; K=64 compiles in ~100 s, PERF_NOTES.md) — scale is capped
+    # until that is hunted down.
+    frames, loop_frames = 500, 460
     cam = syn.default_camera(w, h)
     scene = syn.room_scene(3.0)
     gt = syn.loop_trajectory(frames, loop_frames=loop_frames)
     cfg = BadSlamConfig(
         num_scales=NUM_SCALES,
         max_surfel_count=1 << 20,
+        # Detection-image rate matched to the 500-frame loop (the derived
+        # default's 20 s dislocal window would exceed the whole sequence;
+        # the reference exposes this flag for exactly this purpose).
+        loop_detection_image_frequency=0.5,
         loop_detection_images_width=w,
         loop_detection_images_height=h,
     )  # everything else: DEFAULTS (loop detection on, parallel BA on)
@@ -161,7 +169,7 @@ def bench_slam_scaling() -> dict:
         gray = np.clip(inten * 255.0 + 0.5, 0, 255).astype(np.uint8)
         rgbs.append(np.stack([gray, gray, gray], axis=-1))
 
-    marks = (100, 250, 500, frames)
+    marks = (100, 250, 400, frames)
 
     def one_pass():
         video = _InMemoryVideo(cam, depths, rgbs)
@@ -202,7 +210,7 @@ def bench_slam_scaling() -> dict:
         "frames": frames,
         "fps_at_100": round(seg_fps[0], 2),
         "fps_at_250": round(seg_fps[1], 2),
-        "fps_at_500": round(seg_fps[2], 2),
+        "fps_at_400": round(seg_fps[2], 2),
         "fps_at_end": round(seg_fps[3], 2),
         "fps_total": round(total_fps, 2),
         "live_keyframes": slam.direct_ba.keyframes.live_count,

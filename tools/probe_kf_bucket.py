@@ -38,9 +38,10 @@ def build(capacity: int, live: int, bucketed: bool):
     rng = np.random.default_rng(5)
     cam = synthetic.default_camera(160, 120)
     scene = synthetic.random_plane_scene(rng, 3)
-    cfg = BadSlamConfig(max_surfel_count=1 << 15,
-                        keyframe_bucket_base=8 if bucketed else 1 << 20)
+    cfg = BadSlamConfig(max_surfel_count=1 << 15)
     ba = DirectBA(cam, cfg, surfel_capacity=1 << 15)
+    if not bucketed:
+        ba._keyframe_bucket = lambda: None  # force the full-capacity path
     ba.keyframes._ensure_capacity(capacity)
     for i in range(live):
         pose = synthetic.pose(tx=0.004 * i, ry=0.002 * i)
