@@ -140,21 +140,13 @@ def config_from_args(args) -> BadSlamConfig:
 
 
 
-def _enable_compilation_cache():
-    """Persistent XLA compilation cache: tracker/BA compiles through the
-    axon relay take minutes; caching makes reruns start in seconds."""
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/badslam_tpu/xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
-
-
 def main(argv=None) -> int:
-    _enable_compilation_cache()
+    # Persistent XLA compilation cache: tracker/BA compiles through the
+    # axon relay take minutes; caching makes reruns start in seconds.
+    # (Host-fingerprinted on CPU — see badslam_tpu/utils/cache.py.)
+    from badslam_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
 

@@ -62,6 +62,14 @@ class BadSlamConfig:
     intrinsics_optimization_interval: int = 10  # BA runs between intrinsics optimizations (after warmup)
     do_surfel_updates: bool = True  # create/merge/delete surfels during BA (off = fixed map)
     parallel_ba: bool = True  # queue BA iterations and drain them between frames (BA-thread analog)
+    # Fuse ALL steady frames between consecutive keyframes into ONE device
+    # program (lax.scan over the frame axis): with keyframe_interval=10
+    # this cuts per-frame program submissions ~10x (the TPU relay charges
+    # per submission, PERF_NOTES.md). Semantics match the per-frame path;
+    # parallel-BA drain granularity becomes per-chunk instead of per-frame.
+    # Inactive under fps pacing (fps_restriction/target_frame_rate > 0),
+    # with a live viewer (per-frame stepping), or for live streams.
+    steady_frame_chunking: bool = True
     use_pcg: bool = False  # final BA uses the global PCG Gauss-Newton solver
     estimate_poses: bool = True  # run odometry (off = playback with given poses)
 

@@ -159,6 +159,82 @@ def _steady_frame_fn(key):
     return steady
 
 
+@functools.lru_cache(maxsize=16)
+def _chunk_frames_fn(key, n):
+    """Fused steady-frame CHUNK program: all `n` steady frames between two
+    keyframes processed by ONE jitted lax.scan (preprocess -> pyramid ->
+    motion model -> tracking -> trajectory/history update per frame).
+
+    The per-frame fused program still pays one program submission + two
+    uploads per frame on the TPU relay (~2.5-3 ms/submission under load,
+    PERF_NOTES.md); with keyframe_interval=10 this program replaces nine
+    submissions + eighteen uploads with ONE submission + two batched
+    uploads. The scan body is identical math to `_steady_frame_fn`; the
+    initial-estimate duel gate (PredictFramePose's two variants,
+    bad_slam.cc:767-829) becomes a traced `hist_n >= 3` select carried
+    through the scan instead of a static program variant."""
+    (max_depth, sigma_xy, radius_factor, sigma_inv_depth, cell_size,
+     raw_to_float, num_scales, use_gradmag, baseline_fx, use_depth,
+     use_descriptor, use_motion_model, max_iterations,
+     median_iterations) = key
+
+    @functools.partial(jax.jit, donate_argnums=(10, 11, 12, 13))
+    def chunk(cam, cams, base_pyr, depth_raw, rgb, undistort_map, a,
+              cfactor, base_q, base_t, traj_q, traj_t, hist_q, hist_t,
+              idx0, hist_n0):
+        def body(carry, x):
+            hq, ht, hn = carry
+            d, r = x
+            frame = preprocess_frame.__wrapped__(
+                cam, d, r,
+                max_depth=max_depth, sigma_xy=sigma_xy,
+                radius_factor=radius_factor,
+                sigma_inv_depth=sigma_inv_depth,
+                a=a, cfactor=cfactor, cell_size=cell_size,
+                undistort_map=undistort_map,
+                raw_to_float_depth=raw_to_float,
+                median_iterations=median_iterations,
+            )
+            pyramid = build_pyramid.__wrapped__(
+                frame.depth, frame.nx, frame.ny, frame.intensity,
+                num_scales, use_gradmag,
+            )
+            last = se3.SE3(hq[2], ht[2])
+            if not use_motion_model:
+                e1 = e2 = last
+            else:
+                prev = se3.SE3(hq[1], ht[1])
+                motion = se3.mul(se3.inverse(prev), last)
+                e1 = se3.mul(last, motion)
+                pprev = se3.SE3(hq[0], ht[0])
+                pm = se3.mul(se3.inverse(pprev), prev)
+                est2 = se3.mul(prev, se3.mul(pm, pm))
+                use2 = hn >= 3
+                e2 = se3.SE3(jnp.where(use2, est2.q, e1.q),
+                             jnp.where(use2, est2.t, e1.t))
+            res = track_frame_pairwise.__wrapped__(
+                cams, base_pyr, pyramid, e1.q, e1.t, e2.q, e2.t,
+                baseline_fx=baseline_fx,
+                use_depth=use_depth,
+                use_descriptor=use_descriptor,
+                use_gradmag=use_gradmag,
+                test_two_initial_estimates=use_motion_model,
+                max_iterations=max_iterations,
+            )
+            g = se3.mul(se3.SE3(base_q, base_t), se3.SE3(res.q, res.t))
+            hq = jnp.roll(hq, -1, axis=0).at[2].set(res.q)
+            ht = jnp.roll(ht, -1, axis=0).at[2].set(res.t)
+            return (hq, ht, hn + 1), (g.q, g.t)
+
+        (hist_q, hist_t, _), (gq, gt) = jax.lax.scan(
+            body, (hist_q, hist_t, hist_n0), (depth_raw, rgb), length=n)
+        traj_q = jax.lax.dynamic_update_slice(traj_q, gq, (idx0, 0))
+        traj_t = jax.lax.dynamic_update_slice(traj_t, gt, (idx0, 0))
+        return traj_q, traj_t, hist_q, hist_t, gq[n - 1], gt[n - 1]
+
+    return chunk
+
+
 class BadSlam:
     """Owns the full SLAM state and processes frames one at a time."""
 
@@ -236,6 +312,7 @@ class BadSlam:
         # queue, bad_slam.h:301-325; on one chip JAX's async dispatch
         # interleaves the device work the same way stream priorities do).
         self.queued_ba_iterations = 0
+        self.chunks_processed = 0  # fused steady-chunk calls (diagnostics)
 
         # Optional quasi-live viewer (viz.viewer.LiveViewer). Each snapshot
         # reads device state — set only for interactive runs, never when
@@ -643,6 +720,91 @@ class BadSlam:
 
         return global_T_frame
 
+    # ------------------------------------------------------------------
+    # Steady-frame chunking (TPU throughput mode)
+    # ------------------------------------------------------------------
+
+    def _chunk_len(self) -> int:
+        """Static chunk length: the steady frames between two keyframes.
+        One fixed length = ONE compile variant for the whole run."""
+        return self.config.keyframe_interval - 1
+
+    def chunk_eligible(self, i: int, end: int) -> bool:
+        """True if frames [i, i+chunk_len) are all steady (non-keyframe)
+        frames that the fused chunk program can process as one submission."""
+        c = self.config
+        n = self._chunk_len()
+        return (
+            c.steady_frame_chunking and n >= 2
+            and self._steady_ok and c.estimate_poses
+            and self.base_kf_id is not None
+            and self.live_viewer is None
+            and c.fps_restriction <= 0 and c.target_frame_rate <= 0
+            and not hasattr(self.video, "wait_for_frame")
+            and i + n <= end
+            # the chunk must sit exactly between two keyframes
+            and (i - c.start_frame) % c.keyframe_interval == 1
+        )
+
+    def _process_chunk(self, start: int, n: int) -> None:
+        """Process `n` consecutive steady frames as ONE fused program
+        (2 batched uploads + 1 submission; see `_chunk_frames_fn`).
+        Parallel-BA iterations drain once per chunk (2 per frame worth),
+        after the chunk's trajectory writes — the post-drain trajectory
+        deformation then corrects the chunk's frames exactly as the
+        per-frame path's deformation does."""
+        c = self.config
+        depths = np.stack(
+            [self.video.depth_u16(start + j) for j in range(n)])
+        rgbs = np.stack([self.video.color_u8(start + j) for j in range(n)])
+        with Timing.time("frame chunk (fused)"):
+            params = self.direct_ba.depth_params
+            base = self.base_kf_global_T_frame
+            fn = _chunk_frames_fn(self._steady_key, n)
+            (self.traj_q, self.traj_t, self._hist_q, self._hist_t,
+             gq, gt) = fn(
+                self.cam, self.cams_pyramid, self.base_kf_pyramid,
+                jnp.asarray(depths), jnp.asarray(rgbs),
+                self._undistort_map, params.a, params.cfactor,
+                jnp.asarray(base.q), jnp.asarray(base.t),
+                self.traj_q, self.traj_t, self._hist_q, self._hist_t,
+                jnp.int32(start), jnp.int32(self._hist_n),
+            )
+        for j in range(n):
+            self.has_pose[start + j] = True
+        # video.set_pose is skipped here: per-frame poses would each cost a
+        # device slice submission; nothing in the product path reads
+        # video.poses for non-first frames (exports use the traj buffers).
+        self.video.set_pose(start + n - 1, se3.SE3(gq, gt))
+        self._hist_n += n
+        self.last_frame_index = start + n - 1
+        self.chunks_processed += 1
+
+        if self.queued_ba_iterations > 0:
+            old_kq, old_kt = self._remember_keyframe_poses()
+            nb = min(self.queued_ba_iterations, 2 * n)
+            self.direct_ba.bundle_adjustment(
+                max_iterations=nb,
+                do_surfel_updates=c.do_surfel_updates,
+                increase_ba_iteration_count=False,
+            )
+            self.queued_ba_iterations -= nb
+            self._apply_ba_pose_updates(old_kq, old_kt)
+
+    def process_frames(self, start: int, end: int) -> None:
+        """Process frames [start, end), fusing each between-keyframes run
+        of steady frames into one program where eligible (no pacing, no
+        preload — callers wanting those use `run`)."""
+        i = start
+        while i < end:
+            if self.chunk_eligible(i, end):
+                n = self._chunk_len()
+                self._process_chunk(i, n)
+                i += n
+            else:
+                self.process_frame(i)
+                i += 1
+
     def create_keyframe(self, frame_index, frame, pyramid, global_T_frame):
         """CreateKeyframe analog (bad_slam.cc:957-1101)."""
         kf_id = self.direct_ba.add_keyframe(frame, global_T_frame, frame_index)
@@ -921,7 +1083,8 @@ class BadSlam:
         from badslam_tpu.io.preload import PreLoadThread
 
         preload = PreLoadThread(self.video)
-        for i in range(start, end):
+        i = start
+        while i < end:
             if self.live_viewer is not None:
                 # Run/pause/step from the live viewer's /control endpoint
                 # (the reference GUI's stepping, gui_main_window.cc).
@@ -929,17 +1092,31 @@ class BadSlam:
                     on_wake=self._apply_viewer_commands)
             t0 = time.perf_counter()
             preload.wait_until_done()
-            if i + 1 < end:
-                preload.preload(i + 1)
-            self.process_frame(i)
-            self.video.clear_frame(i)
+            if self.chunk_eligible(i, end):
+                # Fused steady chunk: ONE program for the whole
+                # between-keyframes run (see _chunk_frames_fn).
+                n = self._chunk_len()
+                if i + n < end:
+                    preload.preload(i + n)
+                self._process_chunk(i, n)
+                for j in range(n):
+                    self.video.clear_frame(i + j)
+                step = n
+            else:
+                if i + 1 < end:
+                    preload.preload(i + 1)
+                self.process_frame(i)
+                self.video.clear_frame(i)
+                step = 1
             if progress:
                 # NOTE: no surfel-count print — that would be a device->host
                 # read inside the steady-state loop (PERF_NOTES.md).
                 dt = time.perf_counter() - t0
                 print(
-                    f"frame {i}: {1.0 / max(dt, 1e-9):.1f} FPS", flush=True,
+                    f"frame {i}+{step}: {step / max(dt, 1e-9):.1f} FPS",
+                    flush=True,
                 )
+            i += step
             # EndFrame pacing (bad_slam.cc:453-483): fps_restriction caps
             # playback at the given rate; target_frame_rate simulates the
             # input sensor rate. Both sleep the remainder of the budget.

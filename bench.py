@@ -99,6 +99,8 @@ def bench_slam(cam, scene):
     from badslam_tpu.config import BadSlamConfig
     from badslam_tpu.frontend import BadSlam
 
+    import dataclasses
+
     cfg = BadSlamConfig(
         num_scales=NUM_SCALES,
         keyframe_interval=KEYFRAME_INTERVAL,
@@ -106,22 +108,25 @@ def bench_slam(cam, scene):
         max_surfel_count=1 << 20,
         tracking_max_iterations=TRACK_ITERS,
         enable_loop_detection=False,
+        fps_restriction=0,  # pacing off -> steady-frame chunking active
     )
     gt = syn.smooth_trajectory(SLAM_FRAMES, scale=0.002)
     depths, rgbs = _render_frames(cam, scene, gt, cfg.raw_to_float_depth)
 
-    def one_pass():
+    def one_pass(chunking: bool):
         video = _InMemoryVideo(cam, depths, rgbs)
-        slam = BadSlam(cfg, video)
+        slam = BadSlam(
+            dataclasses.replace(cfg, steady_frame_chunking=chunking), video)
         t0 = time.perf_counter()
-        for i in range(len(video)):
-            slam.process_frame(i)
+        slam.process_frames(0, len(video))
         jax.block_until_ready(slam.traj_q)
         return time.perf_counter() - t0, slam
 
-    one_pass()            # warmup: compiles everything (cache persists)
-    dt, slam = one_pass() # timed
-    return SLAM_FRAMES / dt, slam, gt
+    one_pass(True)                 # warmup: compiles (cache persists)
+    dt, slam = one_pass(True)      # timed, chunked (the headline)
+    one_pass(False)                # warmup per-frame variant
+    dt_pf, _ = one_pass(False)     # timed, per-frame (continuity metric)
+    return SLAM_FRAMES / dt, SLAM_FRAMES / dt_pf, slam, gt
 
 
 def bench_slam_scaling() -> dict:
@@ -161,6 +166,7 @@ def bench_slam_scaling() -> dict:
         loop_detection_image_frequency=0.5,
         loop_detection_images_width=w,
         loop_detection_images_height=h,
+        fps_restriction=0,  # pacing off -> steady-frame chunking active
     )  # everything else: DEFAULTS (loop detection on, parallel BA on)
 
     rng = np.random.default_rng(7)
@@ -185,13 +191,22 @@ def bench_slam_scaling() -> dict:
         slam = BadSlam(cfg, video)
         seg_t, t0 = [], time.perf_counter()
         last_t, last_f = t0, 0
-        for i in range(len(video)):
-            slam.process_frame(i)
-            if i + 1 in marks:
+        i = 0
+        while i < len(video):
+            if slam.chunk_eligible(i, len(video)):
+                n = slam._chunk_len()
+                slam._process_chunk(i, n)
+                i += n
+            else:
+                slam.process_frame(i)
+                i += 1
+            # every mark is a multiple of keyframe_interval, so chunk
+            # steps land on marks exactly; the crossing test is a guard
+            if any(last_f < m <= i for m in marks):
                 jax.block_until_ready(slam.traj_q)
                 now = time.perf_counter()
-                seg_t.append((i + 1 - last_f) / (now - last_t))
-                last_t, last_f = now, i + 1
+                seg_t.append((i - last_f) / (now - last_t))
+                last_t, last_f = now, i
         jax.block_until_ready(slam.traj_q)
         return slam, seg_t, frames / (time.perf_counter() - t0)
 
@@ -293,16 +308,9 @@ def bench_odometry(cam, scene) -> float:
 
 
 def main() -> None:
-    import os
+    from badslam_tpu.utils.cache import enable_compile_cache
 
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/badslam_tpu/xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
     from badslam_tpu import synthetic as syn
 
@@ -323,7 +331,7 @@ def main() -> None:
     # (PERF_NOTES.md), so ATE / closure-counter extraction is strictly
     # deferred to the end.
     odo_fps = bench_odometry(cam, scene)
-    slam_fps, slam1, gt1 = bench_slam(cam, scene)
+    slam_fps, slam_fps_pf, slam1, gt1 = bench_slam(cam, scene)
     try:
         long_run, slam2, gt2 = bench_slam_scaling()
     except Exception as e:  # the headline metric must still be reported
@@ -340,6 +348,7 @@ def main() -> None:
         "value": round(slam_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(slam_fps / 30.0, 3),
+        "slam_fps_per_frame": round(slam_fps_pf, 2),
         "vga_odometry_fps": round(odo_fps, 2),
         "slam_ate_rmse_m": round(slam_ate, 8),
         "long_run": long_run,

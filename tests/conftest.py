@@ -17,8 +17,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# Persistent XLA compile cache (same dir cli.py/bench.py use): repeated
-# suite runs skip recompiling the fused tracker/BA programs.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/badslam_tpu/xla"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# Persistent XLA compile cache, keyed per host CPU: loading a CPU AOT
+# entry compiled on a previous host (this VM pool migrates) can abort the
+# whole process (see badslam_tpu/utils/cache.py).
+import sys  # noqa: E402
+
+sys.path[:0] = [os.path.join(os.path.dirname(__file__), "..")]
+from badslam_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(min_compile_secs=2.0)
