@@ -987,9 +987,48 @@ class BadSlam:
         # Refresh the odometry anchor (device slice, not a read).
         self.base_kf_global_T_frame = ks.pose(self.base_kf_id)
 
+    # Config fields editable at runtime from the viewer's settings panel
+    # (gui_settings_window.cc analog). Restricted to fields the frame loop
+    # re-reads every iteration — no construction-time coupling, so a live
+    # edit is well-defined mid-run.
+    RUNTIME_CONFIG_FIELDS = (
+        "fps_restriction", "target_frame_rate", "keyframe_interval",
+        "max_num_ba_iterations_per_keyframe", "parallel_ba",
+        "do_surfel_updates", "steady_frame_chunking",
+        "min_free_gpu_memory_mb",
+    )
+
+    def _apply_config_edit(self, assignment: str) -> None:
+        """Apply one `key=value` runtime config edit (viewer settings
+        panel). Values are coerced to the field's current type; unknown
+        or non-whitelisted keys are ignored with a warning."""
+        from badslam_tpu.utils.logging import warning
+
+        key, _, raw = assignment.partition("=")
+        if key not in self.RUNTIME_CONFIG_FIELDS or not hasattr(
+                self.config, key):
+            warning("ignoring config edit for %r (not runtime-editable)",
+                    key)
+            return
+        cur = getattr(self.config, key)
+        try:
+            if isinstance(cur, bool):
+                val = raw.strip().lower() in ("1", "true", "on", "yes")
+            elif isinstance(cur, int):
+                val = int(raw)
+            elif isinstance(cur, float):
+                val = float(raw)
+            else:
+                val = raw
+        except ValueError:
+            warning("ignoring config edit %r (bad value)", assignment)
+            return
+        setattr(self.config, key, val)
+
     def _apply_viewer_commands(self) -> None:
-        """Manual BA / densify requested from the live viewer's control
-        endpoint (gui_main_window.cc's manual-BA and densify actions).
+        """Manual BA / densify / config edits requested from the live
+        viewer's control endpoint (gui_main_window.cc's manual-BA and
+        densify actions; gui_settings_window.cc's parameter forms).
         Runs on the SLAM thread via wait_if_paused's on_wake hook."""
         lv = self.live_viewer
         if lv is None or not hasattr(lv, "take_commands"):
@@ -1007,6 +1046,8 @@ class BadSlam:
                 self.direct_ba.create_surfels_for_keyframe(
                     self.base_kf_id, filter_new_surfels=False)
                 lv.snapshot(self)
+            elif cmd.startswith("set:"):
+                self._apply_config_edit(cmd[4:])
 
     def _remember_keyframe_poses(self) -> Tuple[jax.Array, jax.Array]:
         """Snapshot keyframe poses before BA (RememberKeyframePoses analog,

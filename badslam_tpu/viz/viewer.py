@@ -57,6 +57,12 @@ _HTML = """<!DOCTYPE html>
  </span>
  <button onclick="toggleConfig()">config</button>
  <button onclick="screenshot()">screenshot</button>
+ <button onclick="pathAdd()" title="add camera keypoint">path+</button>
+ <button onclick="pathPlay()" title="fly a Catmull-Rom spline through the keypoints">play</button>
+ <button onclick="pathClear()">clear</button>
+ <span id="pathinfo"></span>
+ <div id="cfgedit" style="display:none; background:#181818; padding:6px;
+      border:1px solid #a60; margin-top:4px"></div>
  <pre id="cfg" style="display:none; max-height:70vh; overflow:auto;
       background:#181818; padding:6px; border:1px solid #444"></pre></div>
 <div id="pick" style="white-space:pre"></div>
@@ -254,6 +260,7 @@ function draw(buf, colbuf, mode, count, size, color, splat, nrmbuf, radbuf, firs
 }
 
 function frame(){
+ pathStep();
  const M = mat();
  gl.clearColor(0.07,0.07,0.09,1); gl.enable(gl.DEPTH_TEST);
  gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
@@ -268,23 +275,85 @@ function frame(){
  requestAnimationFrame(frame);
 }
 
+// Fields the SLAM thread accepts as live edits (settings-window analog;
+// must match BadSlam.RUNTIME_CONFIG_FIELDS).
+const EDITABLE = ['fps_restriction', 'target_frame_rate',
+  'keyframe_interval', 'max_num_ba_iterations_per_keyframe', 'parallel_ba',
+  'do_surfel_updates', 'steady_frame_chunking', 'min_free_gpu_memory_mb'];
+
+function renderConfigEdit(cfgObj){
+  // Live runs get editable forms for the runtime-tunable subset
+  // (gui_settings_window parameter forms); applied via /control on the
+  // SLAM thread.
+  const ed = document.getElementById('cfgedit');
+  ed.innerHTML = '<b>runtime settings</b><br>';
+  for (const k of EDITABLE){
+    if (!(k in cfgObj)) continue;
+    const row = document.createElement('div');
+    const lbl = document.createElement('span');
+    lbl.textContent = k + ' ';
+    const inp = document.createElement('input');
+    inp.value = String(cfgObj[k]);
+    inp.size = 8;
+    inp.style.cssText = 'background:#222;color:#ccc;border:1px solid #555';
+    inp.onchange = () =>
+      control('set:' + encodeURIComponent(k + '=' + inp.value));
+    row.appendChild(lbl); row.appendChild(inp); ed.appendChild(row);
+  }
+  ed.style.display = 'block';
+}
+
 async function toggleConfig(){
-  // Settings view (gui_settings_window analog — read-only: a headless
-  // run is configured by CLI flags, shown here verbatim).
+  // Settings view (gui_settings_window analog): full config shown
+  // verbatim; in live mode the runtime-tunable subset is editable.
   const el = document.getElementById('cfg');
+  const ed = document.getElementById('cfgedit');
   if (el.style.display === 'none'){
-    const inline = typeof CONFIG !== 'undefined' ? CONFIG : null;
-    if (inline) el.textContent = JSON.stringify(inline, null, 1);
-    else {
+    let cfgObj = typeof CONFIG !== 'undefined' && CONFIG ? CONFIG : null;
+    if (!cfgObj){
       try {
         const r = await fetch('config.json', {cache: 'no-store'});
-        el.textContent = JSON.stringify(await r.json(), null, 1);
-      } catch (e) { el.textContent = 'config.json unavailable'; }
+        cfgObj = await r.json();
+      } catch (e) {}
     }
+    el.textContent = cfgObj ? JSON.stringify(cfgObj, null, 1)
+                            : 'config.json unavailable';
+    if (cfgObj && POLL_MS > 0) renderConfigEdit(cfgObj);
     el.style.display = 'block';
-  } else el.style.display = 'none';
+  } else { el.style.display = 'none'; ed.style.display = 'none'; }
 }
 const CONFIG = __CONFIG__;
+
+// ---- spline camera paths (render_window.cc + spline_library analog) ----
+let pathKeys = [], pathT = -1;
+function pathAdd(){
+  pathKeys.push([yaw, pitch, dist, panX, panY]);
+  document.getElementById('pathinfo').textContent =
+    ' path: ' + pathKeys.length + ' keypoints';
+}
+function pathClear(){ pathKeys = []; pathT = -1;
+  document.getElementById('pathinfo').textContent = ''; }
+function pathPlay(){ if (pathKeys.length >= 2) pathT = 0; }
+function catmull(p0, p1, p2, p3, t){
+  const t2 = t*t, t3 = t2*t;
+  return 0.5*((2*p1) + (-p0+p2)*t + (2*p0-5*p1+4*p2-p3)*t2
+              + (-p0+3*p1-3*p2+p3)*t3);
+}
+function pathStep(){
+  // Advance the camera along the Catmull-Rom spline (~3 s per segment
+  // at 60 fps); clamped end tangents like centripetal spline players.
+  if (pathT < 0 || pathKeys.length < 2) return;
+  const nSeg = pathKeys.length - 1;
+  if (pathT >= nSeg){ pathT = -1; return; }
+  const seg = Math.floor(pathT), t = pathT - seg;
+  const K = pathKeys;
+  const p0 = K[Math.max(seg-1, 0)], p1 = K[seg],
+        p2 = K[seg+1], p3 = K[Math.min(seg+2, nSeg)];
+  const v = [];
+  for (let i = 0; i < 5; i++) v.push(catmull(p0[i], p1[i], p2[i], p3[i], t));
+  [yaw, pitch, dist, panX, panY] = v;
+  pathT += 1.0 / 180.0;
+}
 
 function screenshot(){
   // Save-screenshot analog (gui_main_window.cc screenshot action): render
@@ -521,7 +590,9 @@ class LiveViewer:
 
             def do_GET(self):
                 if self.path.startswith("/control"):
-                    cmd = self.path.split("cmd=")[-1]
+                    from urllib.parse import unquote
+
+                    cmd = unquote(self.path.split("cmd=")[-1])
                     state = viewer.control(cmd)
                     body = state.encode()
                     self.send_response(200)
@@ -551,10 +622,11 @@ class LiveViewer:
             self.paused = True
             self._release_frame = True
             self._step.set()
-        elif cmd in ("ba", "densify"):
+        elif cmd in ("ba", "densify") or cmd.startswith("set:"):
             # Manual BA / densify actions (gui_main_window.cc menu
-            # actions): queued here, applied by the frame loop on the SLAM
-            # thread (never from the HTTP thread).
+            # actions) and runtime config edits (settings-window forms):
+            # queued here, applied by the frame loop on the SLAM thread
+            # (never from the HTTP thread).
             with self._cmd_lock:
                 self._commands.append(cmd)
             self._step.set()  # release a paused loop so the command runs

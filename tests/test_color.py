@@ -148,6 +148,23 @@ def test_live_viewer_snapshot_and_http(tmp_path):
             f"http://127.0.0.1:{live.port}/control?cmd=ba", timeout=10)
         live.wait_if_paused(on_wake=slam._apply_viewer_commands)
         assert live.generation == gen_before + 2
+        # Runtime config edit (gui_settings_window parameter-form analog):
+        # /control?cmd=set:key=value, coerced + applied on the SLAM thread.
+        from urllib.parse import quote
+
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{live.port}/control?cmd="
+            + quote("set:keyframe_interval=7"), timeout=10)
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{live.port}/control?cmd="
+            + quote("set:parallel_ba=false"), timeout=10)
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{live.port}/control?cmd="
+            + quote("set:max_surfel_count=1"), timeout=10)  # not editable
+        live.wait_if_paused(on_wake=slam._apply_viewer_commands)
+        assert slam.config.keyframe_interval == 7
+        assert slam.config.parallel_ba is False
+        assert slam.config.max_surfel_count == CAP  # whitelist held
     finally:
         live.close()
 
