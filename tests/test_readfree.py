@@ -94,6 +94,34 @@ def test_steady_loop_is_readback_free(forbid_readbacks, monkeypatch):
     jax.block_until_ready(slam.traj_q)
 
 
+def test_chunked_loop_is_readback_free(forbid_readbacks, monkeypatch):
+    """The fused steady-chunk path (lax.scan over the between-keyframes
+    frames + per-chunk parallel-BA drain) must be read-free too."""
+    from badslam_tpu.ba import scheme
+
+    monkeypatch.setattr(scheme, "_backend_tolerates_readbacks",
+                        lambda: False)
+    cfg = BadSlamConfig(
+        num_scales=4,
+        keyframe_interval=5,
+        max_num_ba_iterations_per_keyframe=4,
+        max_surfel_count=1 << 13,
+        tracking_max_iterations=8,
+        enable_loop_detection=True,
+        fps_restriction=0,  # pacing off -> chunking active
+    )
+    rng = np.random.default_rng(3)
+    cam = syn.default_camera(96, 80)
+    scene = syn.random_plane_scene(rng, 3)
+    gt = syn.smooth_trajectory(16, scale=0.002)
+    video = _InMemoryVideo(cam, *_render_frames(cam, scene, gt,
+                                                cfg.raw_to_float_depth))
+    slam = BadSlam(cfg, video)
+    slam.process_frames(0, len(video))
+    assert slam.chunks_processed >= 2
+    jax.block_until_ready(slam.traj_q)
+
+
 def test_forbid_readbacks_fixture_actually_fires(forbid_readbacks):
     import jax.numpy as jnp
 
