@@ -149,11 +149,12 @@ def bench_slam_scaling() -> dict:
     from badslam_tpu.frontend import BadSlam
 
     w, h = 320, 240
-    # 500 frames -> 52 keyframes -> capacity 64. The K=128 fused-BA
-    # program (720 frames) hits an XLA compile cliff through the relay
-    # (hours; K=64 compiles in ~100 s, PERF_NOTES.md) — scale is capped
-    # until that is hunted down.
-    frames, loop_frames = 500, 460
+    # 720 frames -> 74 keyframes -> K=128 fused-BA programs. (A previous
+    # round capped this at 500 frames blaming a K=128 "compile cliff" —
+    # that measurement ran in a session already degraded ~1000x by an
+    # earlier ATE read; with reads strictly deferred the K=128 compile is
+    # ordinary.)
+    frames, loop_frames = 720, 650
     cam = syn.default_camera(w, h)
     scene = syn.room_scene(3.0)
     gt = syn.loop_trajectory(frames, loop_frames=loop_frames)
@@ -184,7 +185,7 @@ def bench_slam_scaling() -> dict:
         gray = np.clip(inten * 255.0 + 0.5, 0, 255).astype(np.uint8)
         rgbs.append(np.stack([gray, gray, gray], axis=-1))
 
-    marks = (100, 250, 400, frames)
+    marks = (100, 250, 500, frames)
 
     def one_pass():
         video = _InMemoryVideo(cam, depths, rgbs)
@@ -225,16 +226,15 @@ def bench_slam_scaling() -> dict:
     jax.block_until_ready(ba.keyframes.q)
     ba_iter_ms = 1e3 * (time.perf_counter() - t0) / reps
 
-    return {
-        "frames": frames,
-        "fps_at_100": round(seg_fps[0], 2),
-        "fps_at_250": round(seg_fps[1], 2),
-        "fps_at_400": round(seg_fps[2], 2),
-        "fps_at_end": round(seg_fps[3], 2),
-        "fps_total": round(total_fps, 2),
-        "live_keyframes": slam.direct_ba.keyframes.live_count,
-        "ba_iteration_ms": round(ba_iter_ms, 3),
-    }, slam, gt
+    out = {"frames": frames}
+    for m, fps in zip(marks, seg_fps):
+        out[f"fps_at_{m}"] = round(fps, 2)
+    out.update(
+        fps_total=round(total_fps, 2),
+        live_keyframes=slam.direct_ba.keyframes.live_count,
+        ba_iteration_ms=round(ba_iter_ms, 3),
+    )
+    return out, slam, gt
 
 
 def bench_odometry(cam, scene) -> float:
