@@ -330,18 +330,35 @@ def main() -> None:
     # degrades the relay session ~1000x for the remainder of the process
     # (PERF_NOTES.md), so ATE / closure-counter extraction is strictly
     # deferred to the end.
-    odo_fps = bench_odometry(cam, scene)
-    slam_fps, slam_fps_pf, slam1, gt1 = bench_slam(cam, scene)
+    errors = {}
+    try:
+        odo_fps = bench_odometry(cam, scene)
+    except Exception as e:
+        odo_fps, errors["odometry"] = 0.0, repr(e)[:200]
+    try:
+        slam_fps, slam_fps_pf, slam1, gt1 = bench_slam(cam, scene)
+    except Exception as e:
+        slam_fps, slam_fps_pf, slam1, gt1 = 0.0, 0.0, None, None
+        errors["slam"] = repr(e)[:200]
     try:
         long_run, slam2, gt2 = bench_slam_scaling()
     except Exception as e:  # the headline metric must still be reported
         long_run, slam2, gt2 = {"error": repr(e)[:200]}, None, None
 
     # -------- reads (degradation tolerated from here on) --------
-    slam_ate = _ate_of(slam1, gt1)
+    # Guarded: if the TPU worker died mid-run (observed 2026-08-17: worker
+    # crash during the long-run section), the headline JSON line must still
+    # print — the driver records exactly one line.
+    try:
+        slam_ate = round(_ate_of(slam1, gt1), 8) if slam1 is not None else -1.0
+    except Exception as e:
+        slam_ate = f"read failed: {repr(e)[:120]}"
     if slam2 is not None:
-        long_run["loop_closures"] = slam2.loop_closure_count
-        long_run["ate_rmse_m"] = round(_ate_of(slam2, gt2), 6)
+        try:
+            long_run["loop_closures"] = slam2.loop_closure_count
+            long_run["ate_rmse_m"] = round(_ate_of(slam2, gt2), 6)
+        except Exception as e:
+            long_run["read_error"] = repr(e)[:120]
 
     print(json.dumps({
         "metric": "slam_fps",
@@ -350,8 +367,9 @@ def main() -> None:
         "vs_baseline": round(slam_fps / 30.0, 3),
         "slam_fps_per_frame": round(slam_fps_pf, 2),
         "vga_odometry_fps": round(odo_fps, 2),
-        "slam_ate_rmse_m": round(slam_ate, 8),
+        "slam_ate_rmse_m": slam_ate,
         "long_run": long_run,
+        **({"errors": errors} if errors else {}),
     }))
 
 
