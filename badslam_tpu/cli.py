@@ -254,6 +254,7 @@ def main(argv=None) -> int:
 
         print(Timing.report())
         print(format_memory_usage())  # PrintGPUMemoryUsage analog
+    slam.close()
     return 0
 
 

@@ -383,6 +383,16 @@ class BadSlam:
 
                 self._loop_thread = LoopDetectionThread(self.loop_detector)
 
+    def close(self) -> None:
+        """Stop owned worker threads (idempotent). The detection thread is
+        a daemon, so leaking it never blocks interpreter exit — but each
+        leaked worker keeps a live queue.get waiter for the process
+        lifetime (visible as thread pileup in crash dumps when many
+        frontends are created in one process, e.g. the test suite)."""
+        t, self._loop_thread = self._loop_thread, None
+        if t is not None:
+            t.stop()
+
     @property
     def loop_closure_count(self) -> int:
         """Number of applied loop closures. DEVICE READ — never call in
@@ -807,12 +817,14 @@ class BadSlam:
 
     def create_keyframe(self, frame_index, frame, pyramid, global_T_frame):
         """CreateKeyframe analog (bad_slam.cc:957-1101)."""
-        kf_id = self.direct_ba.add_keyframe(frame, global_T_frame, frame_index)
-        if self.base_kf_id is None:
-            # First keyframe: bootstrap surfels without filtering.
-            self.direct_ba.create_surfels_for_keyframe(
-                kf_id, filter_new_surfels=False
-            )
+        with Timing.time("keyframe insert"):
+            kf_id = self.direct_ba.add_keyframe(
+                frame, global_T_frame, frame_index)
+            if self.base_kf_id is None:
+                # First keyframe: bootstrap surfels without filtering.
+                self.direct_ba.create_surfels_for_keyframe(
+                    kf_id, filter_new_surfels=False
+                )
         self.base_kf_id = kf_id
         self.base_kf_global_T_frame = global_T_frame
         self.base_kf_pyramid = pyramid
@@ -863,25 +875,29 @@ class BadSlam:
                 kf_id, gray, depth)
             return
 
-        self.loop_detector.add_keyframe(gray, depth, kf_id=kf_id)
-        candidate = self.loop_detector.detect_candidate(kf_id)
+        with Timing.time("loop detection (sync)"):
+            self.loop_detector.add_keyframe(gray, depth, kf_id=kf_id)
+            candidate = self.loop_detector.detect_candidate(kf_id)
         if candidate is None:
             return
         init = self.loop_detector.initial_alignment(kf_id, candidate)
         if init is None:
             return
         cur_T_matched_init, _ = init
-        self._attempt_loop_closure(kf_id, candidate, cur_T_matched_init)
+        with Timing.time("loop closure attempt"):
+            self._attempt_loop_closure(kf_id, candidate, cur_T_matched_init)
 
     def _drain_loop_detections(self) -> None:
         """Wait for enqueued detections and apply any verified closures."""
         if self._loop_thread is None or self._loop_pending_seq < 0:
             return
-        self._loop_thread.wait_through(self._loop_pending_seq)
+        with Timing.time("loop detection drain (wait)"):
+            self._loop_thread.wait_through(self._loop_pending_seq)
         for r in self._loop_thread.drain_results():
             if r.candidate is not None and r.cur_T_matched is not None:
-                self._attempt_loop_closure(
-                    r.kf_id, r.candidate, r.cur_T_matched)
+                with Timing.time("loop closure attempt"):
+                    self._attempt_loop_closure(
+                        r.kf_id, r.candidate, r.cur_T_matched)
 
     def _keyframe_pyramid(self, kf_id: int):
         from badslam_tpu.ops.pyramid import build_pyramid
@@ -1102,12 +1118,13 @@ class BadSlam:
         ks = self.direct_ba.keyframes
         if ks.count == 0:
             return
-        prev_slot, next_slot, alpha, kf_slot = self._bracket_arrays()
-        self.traj_q, self.traj_t = deform_trajectory_device(
-            self.traj_q, self.traj_t, old_kq, old_kt, ks.q, ks.t,
-            prev_slot, next_slot, alpha, kf_slot,
-        )
-        self.base_kf_global_T_frame = ks.pose(self.base_kf_id)
+        with Timing.time("trajectory deformation"):
+            prev_slot, next_slot, alpha, kf_slot = self._bracket_arrays()
+            self.traj_q, self.traj_t = deform_trajectory_device(
+                self.traj_q, self.traj_t, old_kq, old_kt, ks.q, ks.t,
+                prev_slot, next_slot, alpha, kf_slot,
+            )
+            self.base_kf_global_T_frame = ks.pose(self.base_kf_id)
 
     # ------------------------------------------------------------------
 

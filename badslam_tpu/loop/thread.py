@@ -92,14 +92,21 @@ class LoopDetectionThread:
                 if op == "remove":
                     self.detector.remove_keyframe(kf_id)
                 else:
-                    self.detector.add_keyframe(gray, depth, kf_id=kf_id)
-                    candidate = self.detector.detect_candidate(kf_id)
-                    result = DetectionResult(kf_id, candidate, None)
-                    if candidate is not None:
-                        init = self.detector.initial_alignment(
-                            kf_id, candidate)
-                        if init is not None:
-                            result.cur_T_matched, result.inliers = init
+                    # Timed into the shared registry: on a single-core host
+                    # this thread's CPU time is stolen from the main
+                    # thread's dispatch path, so its magnitude matters even
+                    # when the drain barrier never visibly waits.
+                    from badslam_tpu.utils.timing import Timing
+
+                    with Timing.time("loop detection (worker thread)"):
+                        self.detector.add_keyframe(gray, depth, kf_id=kf_id)
+                        candidate = self.detector.detect_candidate(kf_id)
+                        result = DetectionResult(kf_id, candidate, None)
+                        if candidate is not None:
+                            init = self.detector.initial_alignment(
+                                kf_id, candidate)
+                            if init is not None:
+                                result.cur_T_matched, result.inliers = init
                     with self._lock:
                         self._results.append(result)
             except Exception:  # never kill the worker; detection is optional

@@ -212,6 +212,8 @@ def bench_slam_scaling() -> dict:
         return slam, seg_t, frames / (time.perf_counter() - t0)
 
     one_pass()                        # warmup (compiles; cache persists)
+    from badslam_tpu.utils.timing import Timing
+    Timing.reset()                    # phase breakdown covers the timed pass
     slam, seg_fps, total_fps = one_pass()
 
     # Per-BA-iteration time at the final keyframe count (read-free:
@@ -307,6 +309,68 @@ def bench_odometry(cam, scene) -> float:
     return n / (time.perf_counter() - t_start)
 
 
+def _longrun_child() -> None:
+    """Run ONLY the long-run section and print its JSON (child process).
+
+    Process isolation serves two measured relay behaviors (PERF_NOTES.md):
+    degradation from the parent's reads is per-process, and device buffers
+    left idle for the long-run's ~30-60 min (the parent's finished SLAM
+    states) have crashed the TPU worker when finally read — 2026-08-17,
+    twice, both times at the first post-long-run readback. Here every
+    section reads its own values promptly in its own process. The timed
+    results are printed BEFORE the reads so a read-time worker crash
+    still surrenders the measurements."""
+    import sys
+
+    from badslam_tpu.utils.cache import enable_compile_cache
+    from badslam_tpu.utils.timing import Timing
+
+    enable_compile_cache()
+    try:
+        long_run, slam2, gt2 = bench_slam_scaling()
+    except Exception as e:
+        print(json.dumps({"error": repr(e)[:200]}), flush=True)
+        return
+    # Host-clock phase breakdown of the TIMED pass (bench_slam_scaling
+    # resets the registry after warmup) — stderr so the driver's
+    # one-JSON-line contract on stdout is untouched.
+    print(Timing.report(), file=sys.stderr, flush=True)
+    print(json.dumps(long_run), flush=True)  # timed results, pre-read
+    try:
+        long_run["loop_closures"] = slam2.loop_closure_count
+        long_run["ate_rmse_m"] = round(_ate_of(slam2, gt2), 6)
+    except Exception as e:
+        long_run["read_error"] = repr(e)[:120]
+    print(json.dumps(long_run), flush=True)
+
+
+def _run_longrun_subprocess() -> dict:
+    """Launch the long-run in a fresh process; return its last JSON line.
+
+    The relay accepts a second client while the parent holds its session
+    (verified 2026-08-17: concurrent A/B processes both jit + read fine)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, __file__, "--longrun-child"],
+        capture_output=True, text=True)
+    last = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                last = json.loads(line)
+            except ValueError:
+                pass
+    if last is None:
+        return {"error": f"child rc={proc.returncode}: "
+                         f"{proc.stderr.strip()[-200:]}"}
+    if proc.returncode != 0:
+        last.setdefault("child_error", proc.stderr.strip()[-200:])
+    return last
+
+
 def main() -> None:
     from badslam_tpu.utils.cache import enable_compile_cache
 
@@ -326,10 +390,11 @@ def main() -> None:
     if tuner.get(tuner.backend_key(f"bilateral_impl_{HEIGHT}x{WIDTH}")) is None:
         autotune_preprocess(HEIGHT, WIDTH)
 
-    # ALL timed sections run before ANY device->host value read: one read
-    # degrades the relay session ~1000x for the remainder of the process
-    # (PERF_NOTES.md), so ATE / closure-counter extraction is strictly
-    # deferred to the end.
+    # ALL timed sections of THIS process run before ANY device->host value
+    # read: one read degrades the relay session ~1000x for the remainder
+    # of the process (PERF_NOTES.md). The long-run section lives in its
+    # own subprocess (own relay session, own prompt reads) so neither its
+    # timing nor its reads interact with this process's state.
     errors = {}
     try:
         odo_fps = bench_odometry(cam, scene)
@@ -340,25 +405,16 @@ def main() -> None:
     except Exception as e:
         slam_fps, slam_fps_pf, slam1, gt1 = 0.0, 0.0, None, None
         errors["slam"] = repr(e)[:200]
-    try:
-        long_run, slam2, gt2 = bench_slam_scaling()
-    except Exception as e:  # the headline metric must still be reported
-        long_run, slam2, gt2 = {"error": repr(e)[:200]}, None, None
 
-    # -------- reads (degradation tolerated from here on) --------
-    # Guarded: if the TPU worker died mid-run (observed 2026-08-17: worker
-    # crash during the long-run section), the headline JSON line must still
-    # print — the driver records exactly one line.
+    # -------- parent reads (degradation tolerated from here on) --------
+    # Guarded: the headline JSON line must print even if the TPU worker
+    # died mid-run — the driver records exactly one line.
     try:
         slam_ate = round(_ate_of(slam1, gt1), 8) if slam1 is not None else -1.0
     except Exception as e:
         slam_ate = f"read failed: {repr(e)[:120]}"
-    if slam2 is not None:
-        try:
-            long_run["loop_closures"] = slam2.loop_closure_count
-            long_run["ate_rmse_m"] = round(_ate_of(slam2, gt2), 6)
-        except Exception as e:
-            long_run["read_error"] = repr(e)[:120]
+
+    long_run = _run_longrun_subprocess()
 
     print(json.dumps({
         "metric": "slam_fps",
@@ -374,4 +430,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--longrun-child" in sys.argv:
+        _longrun_child()
+    else:
+        main()

@@ -26,3 +26,34 @@ sys.path[:0] = [os.path.join(os.path.dirname(__file__), "..")]
 from badslam_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache(min_compile_secs=2.0)
+
+# ---------------------------------------------------------------------------
+# Memory-map budget: XLA:CPU JIT-compiles every executable into mmap'd code
+# sections that stay mapped for as long as jax's jit caches hold the
+# executable. Across the full suite that accumulates ~2.6k maps/min on this
+# box and crosses the kernel's vm.max_map_count (65530) around the 80th
+# test, at which point the next big compile's failed mmap SEGFAULTS the
+# process inside LLVM (observed 4x on 2026-08-17, always at the same item:
+# the first 8-device shard_map compile after ~40 min of suite; maps sampled
+# at 39.7k twelve minutes in). The two compile-cache crashes documented in
+# PERF_NOTES.md were earlier symptoms of the same exhaustion. Fix: drop
+# jax's compiled-executable caches whenever the map count nears the limit;
+# the handful of recompiles this forces is noise next to a dead suite.
+import pytest  # noqa: E402
+
+
+def _map_count() -> int:
+    try:
+        with open(f"/proc/{os.getpid()}/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _jit_cache_map_budget():
+    yield
+    if _map_count() > 45000:
+        import jax as _jax
+
+        _jax.clear_caches()
