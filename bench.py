@@ -355,6 +355,10 @@ def _run_longrun_subprocess() -> dict:
     proc = subprocess.run(
         [sys.executable, __file__, "--longrun-child"],
         capture_output=True, text=True)
+    if proc.stderr:
+        # Forward the child's stderr (phase Timing report + jax warnings):
+        # stdout keeps the one-JSON-line contract, stderr carries diagnosis.
+        print(proc.stderr, file=sys.stderr, flush=True)
     last = None
     for line in proc.stdout.splitlines():
         line = line.strip()
@@ -435,4 +439,14 @@ if __name__ == "__main__":
     if "--longrun-child" in sys.argv:
         _longrun_child()
     else:
-        main()
+        try:
+            main()
+        except BaseException as e:  # the driver records exactly ONE line:
+            # emit it even when the TPU backend itself is unavailable
+            # (observed 2026-08-17: axon init UNAVAILABLE after a worker
+            # crash — the run died before any section could print).
+            print(json.dumps({
+                "metric": "slam_fps", "value": 0.0, "unit": "frames/s",
+                "vs_baseline": 0.0, "error": repr(e)[:300],
+            }))
+            raise
