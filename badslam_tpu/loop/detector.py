@@ -218,7 +218,9 @@ class LoopDetector:
             return None
         cur_vec = self._db.vectors[kf_id]
         pos = self._temporal_pos(kf_id)
-        eligible = set(self._order[: pos - self.recent_window])
+        # max(0, ...): a bare negative index would wrap the slice and make
+        # the most RECENT keyframes eligible during the first `window` ones.
+        eligible = set(self._order[: max(0, pos - self.recent_window)])
         if not eligible or not cur_vec:
             return None
 

@@ -61,11 +61,6 @@ def extract_features(
     return KeyframeFeatures(pts, desc, pl)
 
 
-_POPCOUNT = np.unpackbits(
-    np.arange(256, dtype=np.uint8)[:, None], axis=1
-).sum(axis=1).astype(np.uint8)
-
-
 def match_descriptors(
     da: np.ndarray, db: np.ndarray, max_distance: int = 64,
     ratio: float = 0.8,
@@ -78,15 +73,25 @@ def match_descriptors(
     """
     if len(da) == 0 or len(db) == 0:
         return np.zeros((0, 2), np.int32)
-    x = np.bitwise_xor(da[:, None, :], db[None, :, :])
-    dist = _POPCOUNT[x].sum(axis=-1).astype(np.int32)  # [Na, Nb]
-    order = np.argsort(dist, axis=1)
-    best = order[:, 0]
-    best_d = dist[np.arange(len(da)), best]
+    # uint64 view + hardware popcount: ~8x less work than the per-byte
+    # table lookup on 500x500x32 xors (matters on the 1-core host, where
+    # matching runs once per BoW candidate).
+    wa = np.ascontiguousarray(da).view(np.uint64)
+    wb = np.ascontiguousarray(db).view(np.uint64)
+    x = np.bitwise_xor(wa[:, None, :], wb[None, :, :])
+    dist = np.bitwise_count(x).sum(axis=-1).astype(np.int32)  # [Na, Nb]
+    # Only the two smallest distances matter (Lowe ratio), not a full sort.
     if dist.shape[1] >= 2:
-        second_d = dist[np.arange(len(da)), order[:, 1]]
+        two = np.argpartition(dist, 1, axis=1)[:, :2]
+        d2 = np.take_along_axis(dist, two, axis=1)
+        first = np.argmin(d2, axis=1)
+        best = np.take_along_axis(two, first[:, None], 1)[:, 0]
+        best_d = np.take_along_axis(d2, first[:, None], 1)[:, 0]
+        second_d = np.take_along_axis(d2, (1 - first)[:, None], 1)[:, 0]
         ok = (best_d < max_distance) & (best_d < ratio * second_d)
     else:
+        best = np.zeros(len(da), np.int64)
+        best_d = dist[:, 0]
         ok = best_d < max_distance
     ia = np.nonzero(ok)[0]
     return np.stack([ia, best[ia]], axis=-1).astype(np.int32)

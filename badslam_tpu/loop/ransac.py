@@ -41,23 +41,33 @@ def ransac_point_cloud_alignment(
         return None, np.zeros(n, bool)
     rng = rng or np.random.default_rng(0)
 
-    best_inliers = np.zeros(n, bool)
-    best_count = 0
-    for _ in range(max_iterations):
-        idx = rng.choice(n, 3, replace=False)
-        sa, sb = a[idx], b[idx]
-        # Degenerate (near-collinear) samples give unstable alignments.
-        if np.linalg.norm(np.cross(sa[1] - sa[0], sa[2] - sa[0])) < 1e-8:
-            continue
-        pose = rigid_align(sa, sb)
-        pred = s3.transform_points(pose, a)
-        inliers = np.linalg.norm(pred - b, axis=-1) < threshold
-        c = int(inliers.sum())
-        if c > best_count:
-            best_count = c
-            best_inliers = inliers
-            if c > 0.8 * n:
-                break
+    # All hypotheses at once: a Python loop of 200 tiny SVDs costs
+    # 70-100 ms of host CPU per call — and on this 1-core box the loop
+    # detector's CPU time is stolen from the dispatch path, so every
+    # FALSE candidate (which never early-exits) used to bill that in
+    # full. Batched, the whole call is ~2 ms.
+    B = max_iterations
+    idx = np.argpartition(rng.random((B, n)), 3, axis=1)[:, :3]  # [B,3]
+    sa, sb = a[idx], b[idx]                                      # [B,3,3]
+    # Degenerate (near-collinear) samples give unstable alignments.
+    ok = np.linalg.norm(
+        np.cross(sa[:, 1] - sa[:, 0], sa[:, 2] - sa[:, 0]), axis=-1) > 1e-8
+    mu_a = sa.mean(axis=1, keepdims=True)                        # [B,1,3]
+    mu_b = sb.mean(axis=1, keepdims=True)
+    H = np.matmul((sa - mu_a).transpose(0, 2, 1), sb - mu_b)     # [B,3,3]
+    U, _, Vt = np.linalg.svd(H)
+    det = np.linalg.det(np.matmul(Vt.transpose(0, 2, 1),
+                                  U.transpose(0, 2, 1)))
+    S = np.broadcast_to(np.eye(3), (B, 3, 3)).copy()
+    S[:, 2, 2] = np.sign(det)
+    R = np.matmul(Vt.transpose(0, 2, 1), np.matmul(S, U.transpose(0, 2, 1)))
+    t = mu_b[:, 0] - np.einsum("bij,bj->bi", R, mu_a[:, 0])      # [B,3]
+    pred = np.einsum("bij,nj->bni", R, a) + t[:, None, :]        # [B,N,3]
+    inl = np.linalg.norm(pred - b[None], axis=-1) < threshold    # [B,N]
+    counts = np.where(ok, inl.sum(axis=1), -1)
+    best = int(np.argmax(counts))
+    best_count = int(counts[best])
+    best_inliers = inl[best] if best_count > 0 else np.zeros(n, bool)
 
     if best_count < max(3, min_inliers):
         return None, best_inliers

@@ -21,17 +21,19 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-_POPCOUNT = np.unpackbits(
-    np.arange(256, dtype=np.uint8)[:, None], axis=1
-).sum(axis=1).astype(np.uint16)
-
-
 def hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """[Na, Nb] Hamming distances between packed binary descriptors."""
+    """[Na, Nb] Hamming distances between packed binary descriptors.
+
+    uint64 view + hardware popcount (np.bitwise_count): the BoW quantize
+    of one keyframe is a [500, vocab_k] distance matrix over 32-byte
+    descriptors — per-byte table lookups made this the detector's single
+    largest host cost on the 1-core box."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)), np.int32)
-    x = np.bitwise_xor(a[:, None, :], b[None, :, :])
-    return _POPCOUNT[x].sum(axis=-1).astype(np.int32)
+    wa = np.ascontiguousarray(a).view(np.uint64)
+    wb = np.ascontiguousarray(b).view(np.uint64)
+    x = np.bitwise_xor(wa[:, None, :], wb[None, :, :])
+    return np.bitwise_count(x).sum(axis=-1).astype(np.int32)
 
 
 def _bit_majority(desc: np.ndarray) -> np.ndarray:
