@@ -63,11 +63,15 @@ def main() -> int:
     print(f"backend: {jax.default_backend()}", flush=True)
 
     # --- representative state: K=6 VGA keyframes, surfels created ---
-    K = 6
-    cfg = BadSlamConfig(num_scales=5, max_surfel_count=1 << 20,
+    # (--small: QVGA/K=4/2-scale smoke mode to validate the tool on CPU
+    # without burning an hour of XLA:CPU compiles.)
+    small = "--small" in sys.argv
+    K = 4 if small else 6
+    cfg = BadSlamConfig(num_scales=2 if small else 5,
+                        max_surfel_count=1 << (16 if small else 20),
                         enable_loop_detection=False)
     rng = np.random.default_rng(0)
-    cam = syn.default_camera(640, 480)
+    cam = syn.default_camera(160 if small else 640, 120 if small else 480)
     scene = syn.random_plane_scene(rng, 3)
     ba = DirectBA(cam, cfg)
     gt = syn.smooth_trajectory(K, scale=0.02)
@@ -84,9 +88,12 @@ def main() -> int:
     def fresh_view():
         # Fresh high-water slice per section: the fused BA program DONATES
         # its surfel-map argument, so a shared slice would be a deleted
-        # buffer by the second section.
+        # buffer by the second section. jnp.copy matters: when bucket ==
+        # capacity, a[:bucket] is an identity slice aliasing ba.surfels,
+        # and donating the alias deletes the master copy.
         return jax.tree.map(
-            lambda a: a[:bucket] if getattr(a, "ndim", 0) > 0 else a,
+            lambda a: jnp.copy(a[:bucket]) if getattr(a, "ndim", 0) > 0
+            else jnp.copy(a),  # scalar leaves (count) are donated too
             ba.surfels)
 
     ks = ba.keyframes
@@ -184,7 +191,8 @@ def main() -> int:
         a[10], a[11], a[12], a[13] = tq, tt, nhq, nht
         return tuple(a)
 
-    profile("steady frame (fused, VGA)", steady, *steady_args(),
+    profile(f"steady frame (fused, {cam.width}x{cam.height})",
+            steady, *steady_args(),
             test_two=True, feedback=steady_feedback)
 
     # ---------------- one fused BA iteration ----------------
