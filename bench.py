@@ -21,15 +21,33 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-WIDTH, HEIGHT, NUM_SCALES = 640, 480, 5
-SLAM_FRAMES = 60
+# Env overrides exist ONLY for CPU smoke-testing the bench plumbing
+# (subprocess structure, Timing report, JSON contract) — the driver runs
+# with defaults on the real TPU.
+WIDTH = int(os.environ.get("BENCH_WIDTH", 640))
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", 480))
+NUM_SCALES = 5
+SLAM_FRAMES = int(os.environ.get("BENCH_FRAMES", 60))
 KEYFRAME_INTERVAL = 10
 BA_ITERATIONS = 10
 TRACK_ITERS = 30  # kMaxIterationsPerScale (bad_slam_config.h)
+LONGRUN_FRAMES = int(os.environ.get("BENCH_LONGRUN_FRAMES", 720))
+
+
+def _apply_platform_override() -> None:
+    """BENCH_PLATFORM=cpu forces the CPU backend (smoke tests only).
+    Must be config-based: the machine's sitecustomize force-registers the
+    axon plugin, so the JAX_PLATFORMS env var alone is not honored."""
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 class _InMemoryVideo:
@@ -154,7 +172,8 @@ def bench_slam_scaling() -> dict:
     # that measurement ran in a session already degraded ~1000x by an
     # earlier ATE read; with reads strictly deferred the K=128 compile is
     # ordinary.)
-    frames, loop_frames = 720, 650
+    frames = LONGRUN_FRAMES
+    loop_frames = max(frames - 70, int(frames * 0.9))
     cam = syn.default_camera(w, h)
     scene = syn.room_scene(3.0)
     gt = syn.loop_trajectory(frames, loop_frames=loop_frames)
@@ -185,7 +204,8 @@ def bench_slam_scaling() -> dict:
         gray = np.clip(inten * 255.0 + 0.5, 0, 255).astype(np.uint8)
         rgbs.append(np.stack([gray, gray, gray], axis=-1))
 
-    marks = (100, 250, 500, frames)
+    marks = tuple(sorted({m for m in (100, 250, 500) if m < frames}
+                         | {frames}))
 
     def one_pass():
         video = _InMemoryVideo(cam, depths, rgbs)
@@ -325,6 +345,7 @@ def _longrun_child() -> None:
     from badslam_tpu.utils.cache import enable_compile_cache
     from badslam_tpu.utils.timing import Timing
 
+    _apply_platform_override()
     enable_compile_cache()
     try:
         long_run, slam2, gt2 = bench_slam_scaling()
@@ -378,6 +399,7 @@ def _run_longrun_subprocess() -> dict:
 def main() -> None:
     from badslam_tpu.utils.cache import enable_compile_cache
 
+    _apply_platform_override()
     enable_compile_cache()
 
     from badslam_tpu import synthetic as syn
