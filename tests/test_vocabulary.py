@@ -155,6 +155,28 @@ def test_detector_revisit_closes(tmp_path):
     assert det.detect_candidate(9) == 0
 
 
+def test_detector_recency_window_excludes_early_keyframes():
+    """Regression: while fewer than `recent_window` keyframes exist, NO
+    candidate may be returned — a negative slice index used to wrap and
+    make the most recent keyframes eligible, so near-identical adjacent
+    keyframes self-matched during the first window (DLoopDetector's
+    dislocal exclusion, TemplatedLoopDetector.h:562)."""
+    pytest.importorskip("cv2")
+    from badslam_tpu.loop.detector import LoopDetector
+
+    cam = synthetic.default_camera(320, 240)
+    depth = np.full((240, 320), 2.0, np.float32)
+    tex = _blob_texture(np.random.default_rng(3))
+    det = LoopDetector(cam=cam, recent_window=10, temporal_consistency=1,
+                       train_after=4)
+    # Identical images: maximal BoW scores — the recency window is the
+    # only thing standing between them and a (false) self-match.
+    for i in range(9):
+        det.add_keyframe(tex, depth, kf_id=i)
+        assert det.detect_candidate(i) is None, (
+            f"kf {i}: candidate within the recency window")
+
+
 def _blob_texture(rng, h=240, w=320, block=8):
     img = rng.uniform(0.2, 0.8, (h // block, w // block))
     img = np.kron(img, np.ones((block, block)))
