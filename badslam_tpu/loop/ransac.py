@@ -47,7 +47,9 @@ def ransac_point_cloud_alignment(
     # FALSE candidate (which never early-exits) used to bill that in
     # full. Batched, the whole call is ~2 ms.
     B = max_iterations
-    idx = np.argpartition(rng.random((B, n)), 3, axis=1)[:, :3]  # [B,3]
+    # kth=2 puts the 3 smallest keys in slots 0..2 (and stays legal at
+    # the n == 3 minimum, where kth=3 would be out of range).
+    idx = np.argpartition(rng.random((B, n)), 2, axis=1)[:, :3]  # [B,3]
     sa, sb = a[idx], b[idx]                                      # [B,3,3]
     # Degenerate (near-collinear) samples give unstable alignments.
     ok = np.linalg.norm(
