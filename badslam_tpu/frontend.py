@@ -313,6 +313,13 @@ class BadSlam:
         # interleaves the device work the same way stream priorities do).
         self.queued_ba_iterations = 0
         self.chunks_processed = 0  # fused steady-chunk calls (diagnostics)
+        # Degraded-session detectors (host clocks only; SURVEY §5.3 + the
+        # runtime-specific failure mode in PERF_NOTES.md): separate
+        # baselines for the per-frame and per-chunk programs.
+        from badslam_tpu.utils.watchdog import DispatchWatch
+
+        self._frame_watch = DispatchWatch("steady frame dispatch")
+        self._chunk_watch = DispatchWatch("steady chunk dispatch")
 
         # Optional quasi-live viewer (viz.viewer.LiveViewer). Each snapshot
         # reads device state — set only for interactive runs, never when
@@ -550,6 +557,7 @@ class BadSlam:
         if not is_first and c.estimate_poses and self._steady_ok:
             # Fused path: 2 uploads + ONE program (preprocess + pyramid +
             # motion model + tracking + trajectory/history update).
+            _t0 = time.perf_counter()
             with Timing.time("frame (fused)"):
                 params = self.direct_ba.depth_params
                 base = self.base_kf_global_T_frame
@@ -566,6 +574,7 @@ class BadSlam:
                     self.traj_q, self.traj_t, self._hist_q, self._hist_t,
                     jnp.int32(frame_index), test_two=test_two,
                 )
+            self._frame_watch.sample(time.perf_counter() - _t0)
             global_T_frame = se3.SE3(gq, gt)
             self.has_pose[frame_index] = True
         else:
@@ -767,6 +776,7 @@ class BadSlam:
         depths = np.stack(
             [self.video.depth_u16(start + j) for j in range(n)])
         rgbs = np.stack([self.video.color_u8(start + j) for j in range(n)])
+        _t0 = time.perf_counter()
         with Timing.time("frame chunk (fused)"):
             params = self.direct_ba.depth_params
             base = self.base_kf_global_T_frame
@@ -789,6 +799,7 @@ class BadSlam:
         self._hist_n += n
         self.last_frame_index = start + n - 1
         self.chunks_processed += 1
+        self._chunk_watch.sample(time.perf_counter() - _t0)
 
         if self.queued_ba_iterations > 0:
             old_kq, old_kt = self._remember_keyframe_poses()
