@@ -165,7 +165,7 @@ def main(argv=None) -> int:
     if args.live:
         from badslam_tpu.io.live_inputs import open_live_input
 
-        live_input = open_live_input(args.live)
+        live_input = open_live_input(args.live, config)
         video = live_input.start(
             max_frames=args.live_max_frames,
             depth_scaling=1.0 / config.raw_to_float_depth,

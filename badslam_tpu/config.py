@@ -86,6 +86,25 @@ class BadSlamConfig:
     loop_detection_images_width: int = 640  # detection images resized to this width
     loop_detection_images_height: int = 480  # detection images resized to this height
 
+    # --- Vendor live-input parameters (bad_slam_config.h:287-366) ---
+    # Consumed by the SDK-gated input classes (io/live_inputs.py); inert
+    # without the vendor SDK, exactly like the reference's stub builds.
+    k4a_mode: str = "nfov"  # Azure Kinect depth mode: nfov, nfov_2x2binned, wfov, wfov_2x2binned
+    k4a_fps: int = 30  # Azure Kinect FPS: 5, 15 or 30
+    k4a_resolution: int = 720  # Azure Kinect color resolution: 720, 1080, 1440, 2160, 3072, 1536
+    k4a_factor: int = 1  # downscaling factor for Azure Kinect images
+    k4a_use_ir: bool = False  # use IR reflectivity images for color instead of RGB
+    k4a_exposure: int = 0  # RGB exposure [us]; 0 = auto-exposure
+    k4a_record_path: str = ""  # record a .mkv simultaneously to SLAM
+    structure_depth_range: str = "Default"  # depth range preset of the Structure Core
+    structure_depth_only: bool = False  # only use the depth (infrared) camera
+    structure_depth_resolution: str = "640x480"  # depth capture resolution
+    structure_expensive_correction: bool = False  # expensive depth correction
+    structure_one_shot_dynamic_calibration: bool = False  # one-shot dynamic calibration
+    structure_depth_diff_threshold: float = 0.05  # depth difference threshold [m]
+    structure_infrared_auto_exposure: bool = True  # infrared auto-exposure
+    structure_visible_exposure_time: float = 0.016  # visible camera exposure [s]
+
     # Restore the reference's per-iteration BA convergence early exit at the
     # cost of a device->host sync per iteration (keep False on runtimes where
     # readbacks stall, PERF_NOTES.md).

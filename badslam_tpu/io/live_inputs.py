@@ -367,12 +367,33 @@ class TCPInput(LiveInputBase):
 
 class _SDKInputBase(LiveInputBase):
     """Vendor-SDK inputs: same thread machinery, SDK-gated open
-    (the reference compiles no-op stubs without the SDK)."""
+    (the reference compiles no-op stubs without the SDK).
+
+    `config` (a BadSlamConfig or None) carries the vendor parameters
+    (k4a_* / structure_*, bad_slam_config.h:287-366); each subclass
+    extracts its own set in `_sdk_options` so a present SDK receives the
+    full reference-parity configuration."""
+
+    # config fields this input consumes (name parity with the reference).
+    CONFIG_FIELDS: Tuple[str, ...] = ()
+
+    def __init__(self, config=None):
+        super().__init__()
+        self.config = config
+
+    def _sdk_options(self) -> dict:
+        """Vendor parameters from the config (defaults when absent)."""
+        if self.config is None:
+            from badslam_tpu.config import BadSlamConfig
+
+            self.config = BadSlamConfig()
+        return {f: getattr(self.config, f) for f in self.CONFIG_FIELDS}
 
     def _import_sdk(self):
         raise NotImplementedError
 
     def _open(self) -> PinholeCamera:
+        opts = self._sdk_options()
         try:
             self._sdk = self._import_sdk()
         except ImportError as e:
@@ -382,11 +403,13 @@ class _SDKInputBase(LiveInputBase):
                 f"same when compiled without the SDK): {e}"
             ) from e
         raise NotImplementedError(
-            f"{self.name}: device binding requires the vendor SDK runtime")
+            f"{self.name}: device binding requires the vendor SDK runtime "
+            f"(configured options: {opts})")
 
 
 class RealSenseInputThread(_SDKInputBase):
-    """Intel RealSense D400-series input (input_realsense.cc analog)."""
+    """Intel RealSense D400-series input (input_realsense.cc analog).
+    The reference exposes no realsense-specific config parameters."""
 
     name = "RealSense"
 
@@ -397,9 +420,14 @@ class RealSenseInputThread(_SDKInputBase):
 
 
 class K4AInputThread(_SDKInputBase):
-    """Azure Kinect input incl. .mkv playback (input_azurekinect.cc)."""
+    """Azure Kinect input incl. .mkv recording (input_azurekinect.cc;
+    parameters wired as in input_azurekinect.cc's Start: depth mode, fps,
+    color resolution, downscale factor, IR-as-color, exposure, record
+    path)."""
 
     name = "AzureKinect"
+    CONFIG_FIELDS = ("k4a_mode", "k4a_fps", "k4a_resolution", "k4a_factor",
+                     "k4a_use_ir", "k4a_exposure", "k4a_record_path")
 
     def _import_sdk(self):
         import pyk4a  # noqa: F401
@@ -408,26 +436,35 @@ class K4AInputThread(_SDKInputBase):
 
 
 class StructureInputThread(_SDKInputBase):
-    """Occipital Structure Core input (input_structure.cc analog)."""
+    """Occipital Structure Core input (input_structure.cc analog;
+    parameters per input_structure.cc's sensor configuration)."""
 
     name = "StructureCore"
+    CONFIG_FIELDS = (
+        "structure_depth_range", "structure_depth_only",
+        "structure_depth_resolution", "structure_expensive_correction",
+        "structure_one_shot_dynamic_calibration",
+        "structure_depth_diff_threshold",
+        "structure_infrared_auto_exposure",
+        "structure_visible_exposure_time")
 
     def _import_sdk(self):
         raise ImportError("no Python SDK exists for Structure Core")
 
 
-def open_live_input(spec: str):
+def open_live_input(spec: str, config=None):
     """CLI dispatch: 'dir:<path>', 'tcp:<port>', 'realsense', 'k4a',
-    'structure' (main.cc:511-569 input selection analog)."""
+    'structure' (main.cc:511-569 input selection analog). `config`
+    supplies the vendor k4a_*/structure_* parameters."""
     if spec.startswith("dir:"):
         return DirectoryInput(spec[4:])
     if spec.startswith("tcp:"):
         return TCPInput(port=int(spec[4:]))
     name = spec.lower()
     if name == "realsense":
-        return RealSenseInputThread()
+        return RealSenseInputThread(config)
     if name in ("k4a", "azurekinect"):
-        return K4AInputThread()
+        return K4AInputThread(config)
     if name == "structure":
-        return StructureInputThread()
+        return StructureInputThread(config)
     raise ValueError(f"unknown live input '{spec}'")

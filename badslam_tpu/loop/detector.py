@@ -21,9 +21,14 @@ loop_detector.cc:208-711):
   7. pose-graph optimization over the odometry chain + the new loop edge,
      then trajectory deformation of the non-keyframes.
 
-This subsystem is host-side by design (as in the reference) and reads
-device pose values when a closure is verified — a rare event, and the only
-read path outside end-of-run exports (PERF_NOTES.md).
+Steps 1-3 (feature extraction, BoW shortlisting, RANSAC) are host-side by
+design, operating on the dataset's own numpy images — as in the reference,
+which keeps them off the GPU. Steps 4-7 are READ-FREE device programs:
+the 3-way refinement runs the device tracker and the gates + pose graph +
+pose/trajectory application are one masked device program
+(loop/closure_device.py) — closures happen mid-run, and on the axon
+runtime a single device->host read degrades the session ~1000x
+(PERF_NOTES.md), so nothing here reads device values.
 """
 
 from __future__ import annotations
@@ -39,22 +44,12 @@ from badslam_tpu.loop.features import (
     extract_features,
     match_descriptors,
 )
-from badslam_tpu.loop.pose_graph import (
-    PoseGraphEdge,
-    odometry_chain_edges,
-    optimize_pose_graph,
-)
 from badslam_tpu.loop.ransac import ransac_point_cloud_alignment
 from badslam_tpu.loop.vocabulary import (
     BinaryVocabulary,
     BowDatabase,
     l1_score,
 )
-
-MAX_ANGLE_DIFFERENCE = np.pi / 180.0 * 10.0   # loop_detector.cc:577
-MAX_EUCLIDEAN_DISTANCE = 0.02                 # loop_detector.cc:578
-AVERAGE_PIXEL_DISTANCE_THRESHOLD = 1.0        # loop_detector.cc:661
-
 
 def average_poses(poses: List[s3.SE3]) -> s3.SE3:
     """AveragePose analog (util.h:46): mean translation + normalized mean
@@ -67,14 +62,6 @@ def average_poses(poses: List[s3.SE3]) -> s3.SE3:
         qs.append(q if q @ q0 >= 0 else -q)
     q = np.mean(qs, axis=0)
     return s3.SE3(q / np.linalg.norm(q), t)
-
-
-@dataclass
-class LoopClosureResult:
-    matched_kf: int
-    current_kf: int
-    cur_T_matched: s3.SE3
-    new_keyframe_poses: List[s3.SE3]   # global_T_frame per keyframe
 
 
 @dataclass
@@ -276,72 +263,3 @@ class LoopDetector:
         if pose is None:
             return None
         return pose, int(inliers.sum())
-
-    # ------------------------------------------------------------------
-
-    def check_consistency(self, cur_T_old_refined: List[s3.SE3]) -> bool:
-        """≤10° viewing-direction / ≤2 cm gates over all refinement pairs
-        (loop_detector.cc:575-604)."""
-        n = len(cur_T_old_refined)
-        for i in range(n - 1):
-            for k in range(i + 1, n):
-                Ri = s3.quat_to_matrix(cur_T_old_refined[i].q)
-                Rk = s3.quat_to_matrix(cur_T_old_refined[k].q)
-                cosang = float(np.clip(Ri[:, 2] @ Rk[:, 2], -1.0, 1.0))
-                if np.arccos(cosang) > MAX_ANGLE_DIFFERENCE:
-                    return False
-                d = np.linalg.norm(
-                    np.asarray(cur_T_old_refined[i].t)
-                    - np.asarray(cur_T_old_refined[k].t)
-                )
-                if d > MAX_EUCLIDEAN_DISTANCE:
-                    return False
-        return True
-
-    def closure_needed(
-        self, cur_id: int, cur_T_global_estimate: s3.SE3,
-        global_T_cur_actual: s3.SE3,
-    ) -> bool:
-        """Mean keypoint pixel-motion test (loop_detector.cc:624-666)."""
-        pts = self.features[cur_id].points_local
-        if len(pts) == 0:
-            return True
-        delta = s3.mul(cur_T_global_estimate, global_T_cur_actual)
-        moved = s3.transform_points(delta, pts)
-
-        def project(p):
-            z = p[:, 2]
-            ok = z > 0
-            x = self.cam.fx * p[:, 0] / np.maximum(z, 1e-9) + self.cam.cx
-            y = self.cam.fy * p[:, 1] / np.maximum(z, 1e-9) + self.cam.cy
-            ok &= (x >= 0) & (y >= 0) & (x < self.cam.width) & (y < self.cam.height)
-            return np.stack([x, y], -1), ok
-
-        pe, oke = project(moved)
-        pc, okc = project(pts)
-        ok = oke & okc
-        if ok.sum() < 5:
-            return True
-        avg = float(np.linalg.norm(pe[ok] - pc[ok], axis=-1).mean())
-        return avg > AVERAGE_PIXEL_DISTANCE_THRESHOLD
-
-    # ------------------------------------------------------------------
-
-    def close_loop(
-        self,
-        cur_pos: int,          # position of the current KF in ordered_poses
-        matched_pos: int,      # position of the matched KF in ordered_poses
-        cur_T_matched: s3.SE3,
-        ordered_poses: List[s3.SE3],  # live keyframes in TEMPORAL order
-    ) -> List[s3.SE3]:
-        """Pose-graph optimization with the odometry chain + the loop edge
-        (loop_detector.cc:670-681, pose_graph_optimizer.cc:69-131). Operates
-        on the temporally-ordered live keyframe list; the caller maps
-        positions back to store slots."""
-        edges = odometry_chain_edges(ordered_poses)
-        # Edge matched->current: Z = X_matched^-1 X_current = matched_T_cur.
-        edges.append(
-            PoseGraphEdge(matched_pos, cur_pos, s3.inverse(cur_T_matched))
-        )
-        return optimize_pose_graph(ordered_poses, edges, fixed=0,
-                                   iterations=20)

@@ -78,3 +78,31 @@ def _jit_cache_map_budget():
         import jax as _jax
 
         _jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# `slow` marker: multi-minute fixtures (full-SLAM loop-closure runs, long
+# scaling probes) are opt-in via --runslow so the DEFAULT suite stays under
+# ~15 min on this 1-core box (round-3 verdict #9). CI/builders run the full
+# suite with --runslow before each snapshot.
+# ---------------------------------------------------------------------------
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (multi-minute fixtures)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute test, opt-in via --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

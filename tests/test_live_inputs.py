@@ -131,3 +131,33 @@ def test_live_slam_end_to_end(tmp_path):
     est = [slam.frame_pose(i) for i in range(n)]
     assert all(p is not None for p in est)
     assert synthetic.ate_rmse(est, gt) < 0.01
+
+
+def test_vendor_inputs_consume_config_params():
+    """The SDK-gated inputs receive the reference's k4a_*/structure_*
+    parameters (bad_slam_config.h:287-366) — config threads through
+    open_live_input into each class's _sdk_options()."""
+    from badslam_tpu.config import BadSlamConfig
+    from badslam_tpu.io.live_inputs import (
+        K4AInputThread,
+        StructureInputThread,
+    )
+
+    cfg = BadSlamConfig(k4a_mode="wfov", k4a_fps=15, k4a_exposure=8000,
+                        structure_depth_only=True,
+                        structure_depth_diff_threshold=0.1)
+    k4a = open_live_input("k4a", cfg)
+    assert isinstance(k4a, K4AInputThread)
+    opts = k4a._sdk_options()
+    assert opts["k4a_mode"] == "wfov" and opts["k4a_fps"] == 15
+    assert opts["k4a_exposure"] == 8000
+    assert set(opts) == set(K4AInputThread.CONFIG_FIELDS)
+
+    sc = open_live_input("structure", cfg)
+    opts = sc._sdk_options()
+    assert opts["structure_depth_only"] is True
+    assert opts["structure_depth_diff_threshold"] == 0.1
+    assert set(opts) == set(StructureInputThread.CONFIG_FIELDS)
+
+    # Without a config, defaults apply (stub behavior unchanged).
+    assert open_live_input("realsense")._sdk_options() == {}

@@ -17,6 +17,7 @@ deformation compose organically.
 """
 
 import numpy as np
+import pytest
 
 from badslam_tpu import synthetic as syn
 from badslam_tpu.config import BadSlamConfig
@@ -65,6 +66,7 @@ def _run(path, gt, loop_on: bool):
             closures_before_revisit, est)
 
 
+@pytest.mark.slow
 def test_organic_loop_closure(tmp_path):
     path = str(tmp_path / "loop_ds")
     gt = _write_dataset(path)

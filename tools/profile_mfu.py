@@ -112,7 +112,15 @@ def main() -> int:
         in HBM at least once; we report that as the traffic LOWER bound and
         build the roofline from it (a kernel re-reading an operand raises
         real traffic above the bound, so pct_of_roofline is an upper bound
-        on how close to the light of speed the program is).
+        on how close to the speed of light the program is). Donated
+        (aliased) buffers count TWICE — the pages are read as an input and
+        written as an output, i.e. two HBM traversals.
+
+        Sanity (round-3 advisor findings): a row whose implied traffic rate
+        exceeds the HBM peak, or that otherwise contradicts physics, is
+        re-timed once and, if still impossible, published with
+        ``"unreliable": reason`` so it cannot silently mislead kernel
+        decisions.
 
         `feedback`: optional fn(out, args)->args mapping outputs back into
         the argument tuple for donated-buffer programs."""
@@ -122,14 +130,18 @@ def main() -> int:
         if isinstance(ca, (list, tuple)):  # older jax returns [dict]
             ca = ca[0]
         flops, logical_bytes = _fmt_cost(ca)
+        traffic = None
         try:
             ma = compiled.memory_analysis()
+            # arg + out + temp; aliased (donated) bytes appear in BOTH the
+            # argument and output sizes, which is correct: they are read
+            # once and written once.
             traffic = float(ma.argument_size_in_bytes
                             + ma.output_size_in_bytes
-                            + ma.temp_size_in_bytes
-                            - ma.alias_size_in_bytes)
-        except Exception:
-            traffic = 0.0
+                            + ma.temp_size_in_bytes)
+        except Exception as e:
+            print(f"WARNING: memory_analysis failed for {name}: {e!r}; "
+                  "traffic-derived fields will be null", flush=True)
 
         out = fn(*args, **kwargs)
         if feedback is not None:
@@ -152,29 +164,76 @@ def main() -> int:
         if dt * reps < 0.030:
             dt = timed(max(reps, int(0.030 / max(dt, 1e-5)) + 1))
 
+        unreliable = None
+        if traffic is not None and traffic / dt > V5E_HBM_BPS:
+            # The traffic LOWER bound divided by wall time cannot exceed the
+            # HBM peak; re-time with a longer batch (>=300 ms of work) in
+            # case the short batch under-measured a sub-ms donated program.
+            dt2 = timed(max(reps, int(0.300 / max(dt, 1e-5)) + 1))
+            dt = max(dt, dt2)
+            if traffic / dt > V5E_HBM_BPS:
+                unreliable = (
+                    "implied traffic rate exceeds HBM peak: the timing "
+                    "under-measures this program or memory_analysis bytes "
+                    "are not all touched per call")
+                print(f"WARNING: {name}: {unreliable}", flush=True)
+
         gflops = flops / dt / 1e9
+        results[name] = {
+            "ms_per_call": round(1e3 * dt, 3),
+            "gflop_per_call": round(flops / 1e9, 3),
+            "logical_gbytes_cost_analysis": round(logical_bytes / 1e9, 2),
+            "achieved_gflops": round(gflops, 1),
+            "pct_of_f32_peak": round(100 * gflops * 1e9 / V5E_PEAK_F32, 2),
+        }
+        if traffic is None:
+            results[name].update(
+                min_traffic_gbytes=None, min_traffic_gbps=None,
+                arith_intensity_flop_per_byte=None,
+                pct_of_hbm_bw_lower_bound=None,
+                pct_of_roofline_upper_bound=None,
+                unreliable="memory_analysis failed",
+            )
+            print(f"{name:<34} {1e3*dt:8.3f} ms  {flops/1e9:8.2f} GF  "
+                  f"(no traffic) -> {gflops:8.1f} GF/s", flush=True)
+            return out
         gbps = traffic / dt / 1e9
         intensity = flops / max(traffic, 1.0)
         # Roofline from the traffic lower bound, f32 compute peak.
         roof = min(V5E_PEAK_F32, intensity * V5E_HBM_BPS)
-        results[name] = {
-            "ms_per_call": round(1e3 * dt, 3),
-            "gflop_per_call": round(flops / 1e9, 3),
+        results[name].update({
             "min_traffic_gbytes": round(traffic / 1e9, 4),
-            "logical_gbytes_cost_analysis": round(logical_bytes / 1e9, 2),
-            "achieved_gflops": round(gflops, 1),
             "min_traffic_gbps": round(gbps, 1),
             "arith_intensity_flop_per_byte": round(intensity, 2),
-            "pct_of_f32_peak": round(100 * gflops * 1e9 / V5E_PEAK_F32, 2),
             "pct_of_hbm_bw_lower_bound": round(100 * gbps * 1e9 / V5E_HBM_BPS,
                                                2),
             "pct_of_roofline_upper_bound": round(100 * flops / dt / roof, 1),
-        }
+        })
+        if unreliable:
+            results[name]["unreliable"] = unreliable
         print(f"{name:<34} {1e3*dt:8.3f} ms  {flops/1e9:8.2f} GF  "
               f"{traffic/1e9:7.3f} GB  -> {gflops:8.1f} GF/s "
               f"{gbps:7.1f} GB/s  AI={intensity:6.1f} "
               f"roofline<={100*flops/dt/roof:5.1f}%", flush=True)
         return out
+
+    def check_subset_consistency(full_name, subset_names):
+        """A strictly-less-work variant timing slower than its superset
+        means the measurements cannot locate costs (round-3 advisor):
+        mark both rows so the bisect is not trusted."""
+        full = results.get(full_name)
+        if not full:
+            return
+        for s in subset_names:
+            sub = results.get(s)
+            if sub and sub["ms_per_call"] > 1.15 * full["ms_per_call"]:
+                msg = (f"subset '{s}' measured slower than its superset "
+                       f"'{full_name}' ({sub['ms_per_call']} vs "
+                       f"{full['ms_per_call']} ms) — bisect unreliable "
+                       "(re-run with an idle relay)")
+                print(f"WARNING: {msg}", flush=True)
+                sub["unreliable"] = msg
+                full.setdefault("unreliable", msg)
 
     # ---------------- fused steady frame ----------------
     steady = _steady_frame_fn((
@@ -261,6 +320,11 @@ def main() -> int:
         args, kw = ba_args(True)
         kw.update(overrides)
         profile(label, _ba_iteration, *args, feedback=ba_feedback, **kw)
+
+    check_subset_consistency(
+        "BA iteration (fused, desc on)",
+        ["fused desc on, pose opt OFF", "fused desc on, geometry OFF",
+         "fused desc on, surfel upd OFF"])
 
     # ---------------- descriptor-gather isolation ----------------
     kstack = ks.stack()
