@@ -507,16 +507,23 @@ class DirectBA:
         live = ks.live_count
         if live == 0:
             return None
-        # `_kf_bucket_floor` pins the bucket for runs with a known keyframe
-        # budget (prebudget_epochs): every distinct B is a fresh compile of
-        # the fused programs, so a pre-sized run keeps ONE shape for its
-        # whole length instead of walking the pow-2 ladder. Dynamic growth
-        # (and shrink after keyframe merging) applies otherwise.
+        # Pow-2 bucket ladder from keyframe_bucket_base: each fused BA call
+        # runs on exactly the pow2(live) keyframe substack, so early-run BA
+        # cost is O(live) — the reference loops only over active keyframes
+        # (direct_ba_alternating.cc:543-577). Each rung is one fresh compile
+        # of the fused programs (covered by the warmup pass / persistent
+        # cache); `_kf_bucket_floor` is a high-water mark so the bucket
+        # never SHRINKS after keyframe merging (a shrink-regrow bounce
+        # would recompile with zero upside). Round 3 pinned the floor to
+        # pow2(expected) up front, which deadlocked against the `cap // 2`
+        # rule on pre-sized runs and made every call O(capacity) — the
+        # ladder restores O(live) at the cost of one compile per rung.
         b = max(1, self.config.keyframe_bucket_base, self._kf_bucket_floor)
         while b < live:
             b *= 2
         if b > cap // 2:
             return None
+        self._kf_bucket_floor = b
         free = ks.free_slot_set
         live_slots = [s for s in range(ks.count) if s not in free]
         pad = [s for s in range(cap)
@@ -538,13 +545,10 @@ class DirectBA:
             min(cells * (e * (e + 1)) // 2, self.surfels.capacity),
         )
         self._prebudgeted_epochs = e
-        # Pin the keyframe bucket to the expected live count (see
-        # _keyframe_bucket: avoids one fused-program recompile per pow-2
-        # growth step during a known-length run).
-        b = 1
-        while b < e:
-            b *= 2
-        self._kf_bucket_floor = max(self._kf_bucket_floor, b)
+        # NOTE: the keyframe bucket is NOT pinned to pow2(e) — the ladder in
+        # _keyframe_bucket keeps early-run BA O(live). (Round 3 pinned it,
+        # which made pre-sized runs scan the full capacity from keyframe 1:
+        # pow2(expected) == capacity tripped the cap//2 full-stack fallback.)
 
     def _cells_per_keyframe(self) -> int:
         c = self.config
