@@ -158,18 +158,25 @@ def _iteration_core(
         )
 
     active_strict = valid & (activation == kfs.ACTIVE)
-    smap = sf.update_surfel_activation.__wrapped__(
-        smap, cam, full_stack._replace(mask=active_strict),
-        baseline_fx=baseline_fx,
-    )
-
     participating = valid & (
         (activation == kfs.ACTIVE) | (activation == kfs.COVISIBLE_ACTIVE)
     )
     kstack = full_stack._replace(mask=participating)
 
+    # Activation + geometry step (a) normals share ONE association pass
+    # over the keyframe planes (round-3 verdict #3: each stage used to
+    # re-associate every surfel with every plane).
+    from badslam_tpu.ba.geometry_opt import (
+        _position_step,
+        update_activation_and_normals,
+    )
+
+    smap = update_activation_and_normals(
+        smap, cam, full_stack, active_strict, participating,
+        baseline_fx=baseline_fx, update_normals=optimize_geometry)
+
     if optimize_geometry:
-        smap = optimize_geometry_iteration.__wrapped__(
+        smap = _position_step(
             smap, cam, kstack, baseline_fx=baseline_fx,
             use_depth=use_depth, use_descriptor=use_descriptor,
         )

@@ -140,10 +140,65 @@ def config_from_args(args) -> BadSlamConfig:
 
 
 
+def _recover_by_exec(slam, args, err) -> None:
+    """Save a full state snapshot and replace this process with a fresh
+    one resuming via --load_state (the session degradation is per-process;
+    see utils/watchdog.py). Never returns."""
+    import tempfile
+
+    from badslam_tpu.io.state import save_state
+    from badslam_tpu.utils.logging import warning
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"badslam_recover_{os.getpid()}.npz")
+    save_state(slam, path)
+    slam.close()
+    warning(
+        "RECOVERY: session degraded after frame %d — state saved to %s, "
+        "exec'ing a fresh process to resume (recovery event #%d)",
+        err.last_frame_index, path,
+        int(os.environ.get("BADSLAM_RECOVERY_COUNT", "0")) + 1)
+    new_argv = []
+    skip = False
+    for a in sys.argv[1:]:
+        if skip:
+            skip = False
+            continue
+        if a == "--load_state":
+            skip = True
+            continue
+        if a.startswith("--load_state="):
+            continue
+        new_argv.append(a)
+    new_argv += ["--load_state", path]
+    env = dict(os.environ)
+    env.pop("BADSLAM_FAKE_DEGRADE_AT", None)  # injection fires only once
+    env["BADSLAM_RECOVERY_COUNT"] = str(
+        int(env.get("BADSLAM_RECOVERY_COUNT", "0")) + 1)
+    if int(env["BADSLAM_RECOVERY_COUNT"]) > 3:
+        raise RuntimeError(
+            "giving up: the session degraded again after 3 recovery "
+            "restarts") from err
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(sys.executable,
+              [sys.executable, "-m", "badslam_tpu.cli"] + new_argv, env)
+
+
 def main(argv=None) -> int:
     # Persistent XLA compilation cache: tracker/BA compiles through the
     # axon relay take minutes; caching makes reruns start in seconds.
     # (Host-fingerprinted on CPU — see badslam_tpu/utils/cache.py.)
+    # BADSLAM_PLATFORM=cpu forces the CPU backend (tests / machines whose
+    # sitecustomize force-registers a TPU plugin: the env var alone is not
+    # honored there, the config must be set after importing jax).
+    plat = os.environ.get("BADSLAM_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     from badslam_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -202,13 +257,29 @@ def main(argv=None) -> int:
                           interval=args.live_viewer_interval)
         slam.live_viewer = live
         print(f"live viewer: http://127.0.0.1:{live.port}/index.html")
-    if live_input is not None:
-        try:
-            slam.run_live(progress=not args.quiet)
-        finally:
-            live_input.stop()
-    else:
-        slam.run(start=start, progress=not args.quiet)
+    from badslam_tpu.utils.watchdog import DegradedSessionError
+
+    try:
+        if live_input is not None:
+            try:
+                slam.run_live(progress=not args.quiet)
+            finally:
+                live_input.stop()
+        else:
+            slam.run(start=start, progress=not args.quiet)
+    except DegradedSessionError as e:
+        # Degradation RECOVERY (round-3 verdict #5; the act-on-detection
+        # analog of the reference's OOM guard, bad_slam.cc:962-972): the
+        # per-kernel sync fallback is per-PROCESS, so the only cure is a
+        # fresh process. Snapshot the full SLAM state and exec a new
+        # process that resumes from it — load_state restarts the frame
+        # loop at last_frame_index + 1 with all map/pose/BA state intact.
+        if live_input is not None or argv is not None:
+            # Live streams can't be resumed from a snapshot (frames are
+            # gone), and in-process callers (tests/libraries) must handle
+            # recovery themselves: re-raise.
+            raise
+        _recover_by_exec(slam, args, e)
 
     if args.final_ba:
         slam.final_bundle_adjustment(

@@ -320,6 +320,7 @@ class BadSlam:
 
         self._frame_watch = DispatchWatch("steady frame dispatch")
         self._chunk_watch = DispatchWatch("steady chunk dispatch")
+        self._last_canary_check = 0.0
 
         # Optional quasi-live viewer (viz.viewer.LiveViewer). Each snapshot
         # reads device state — set only for interactive runs, never when
@@ -399,6 +400,38 @@ class BadSlam:
         t, self._loop_thread = self._loop_thread, None
         if t is not None:
             t.stop()
+
+    def _check_degradation(self, watch, tripped: bool,
+                           last_frame_index: int) -> None:
+        """Watchdog trip handling (SURVEY §5.3 'act on detection', the
+        analog of the reference's OOM guard acting via MergeKeyframes,
+        bad_slam.cc:962-972). A trip alone is ambiguous on the 1-core box
+        (the detection worker stealing CPU inflates dispatch clocks), so a
+        known-cost CANARY program discriminates: healthy -> re-arm the
+        watch and continue; confirmed per-kernel sync fallback -> raise
+        DegradedSessionError, which the CLI turns into save_state + exec
+        of a fresh process resuming via --load_state."""
+        from badslam_tpu.utils import watchdog as wd
+
+        fake = wd.fake_degrade_at()
+        if 0 <= fake <= last_frame_index:
+            # Test injection. The CLI recovery handler clears the env var
+            # before exec'ing the resume process, so this fires once.
+            raise wd.DegradedSessionError(last_frame_index)
+        if not tripped:
+            return
+        now = time.perf_counter()
+        if now - self._last_canary_check < 30.0:
+            watch.reset_trip()
+            return
+        self._last_canary_check = now
+        if wd.probe_degradation():
+            raise wd.DegradedSessionError(last_frame_index)
+        from badslam_tpu.utils.logging import warning
+
+        warning("%s: canary probe healthy — the trip was transient "
+                "host/queue contention, continuing", watch.name)
+        watch.reset_trip()
 
     @property
     def loop_closure_count(self) -> int:
@@ -554,6 +587,7 @@ class BadSlam:
         Returns the frame's estimated global_T_frame."""
         c = self.config
         is_first = self.base_kf_id is None
+        frame_tripped = False
         if not is_first and c.estimate_poses and self._steady_ok:
             # Fused path: 2 uploads + ONE program (preprocess + pyramid +
             # motion model + tracking + trajectory/history update).
@@ -574,7 +608,8 @@ class BadSlam:
                     self.traj_q, self.traj_t, self._hist_q, self._hist_t,
                     jnp.int32(frame_index), test_two=test_two,
                 )
-            self._frame_watch.sample(time.perf_counter() - _t0)
+            frame_tripped = self._frame_watch.sample(
+                time.perf_counter() - _t0)
             global_T_frame = se3.SE3(gq, gt)
             self.has_pose[frame_index] = True
         else:
@@ -613,6 +648,11 @@ class BadSlam:
         self._hist_n += 1
         self.video.set_pose(frame_index, global_T_frame)
         self.last_frame_index = frame_index
+        # Frame boundary: the frame's bookkeeping is complete, so a
+        # confirmed degradation raised here resumes cleanly at
+        # frame_index + 1 (state snapshots resume from last_frame_index).
+        self._check_degradation(self._frame_watch, frame_tripped,
+                                frame_index)
 
         # Drain queued BA iterations between keyframes (parallel BA mode).
         if self.queued_ba_iterations > 0:
@@ -799,7 +839,9 @@ class BadSlam:
         self._hist_n += n
         self.last_frame_index = start + n - 1
         self.chunks_processed += 1
-        self._chunk_watch.sample(time.perf_counter() - _t0)
+        tripped = self._chunk_watch.sample(time.perf_counter() - _t0)
+        self._check_degradation(self._chunk_watch, tripped,
+                                self.last_frame_index)
 
         if self.queued_ba_iterations > 0:
             old_kq, old_kt = self._remember_keyframe_poses()

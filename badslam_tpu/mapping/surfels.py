@@ -344,20 +344,14 @@ def update_surfel_activation(
 ) -> SurfelMap:
     """Surfel is active iff associated with any keyframe in `kstack`
     (UpdateSurfelActivationCUDA, kernel_surfel_activation.cu:38-96).
-    Callers pass the stack of Active keyframes."""
+    Callers pass the stack of Active keyframes. Implemented as the
+    activation half of the chunk-batched fused pass (geometry_opt):
+    the surfel arrays are read once per keyframe CHUNK, not per keyframe."""
+    from badslam_tpu.ba.geometry_opt import update_activation_and_normals
 
-    def body(active, kf):
-        (d, fx_, fy_, q, t, m) = kf
-        ftg = se3.inverse(se3.SE3(q, t))
-        a = _associate(smap, cam, ftg.q, ftg.t, d, fx_, fy_, baseline_fx)
-        return active | (a.valid & m), None
-
-    active, _ = jax.lax.scan(
-        body,
-        jnp.zeros_like(smap.active),
-        (kstack.depth, kstack.nx, kstack.ny, kstack.q, kstack.t, kstack.mask),
-    )
-    return smap._replace(active=active & smap.valid)
+    return update_activation_and_normals(
+        smap, cam, kstack, kstack.mask, kstack.mask, baseline_fx,
+        update_normals=False)
 
 
 @functools.partial(jax.jit, static_argnames=("baseline_fx",))

@@ -500,6 +500,34 @@ def write_tum_dataset(
             f.write("\n".join(gt_lines) + "\n")
 
 
+def ate_rmse_device(traj_t, gt_t):
+    """SE3-aligned ATE RMSE computed ON DEVICE: one jitted program over the
+    device trajectory buffer and an uploaded [F, 3] ground-truth array,
+    returning a scalar. Benchmarks read this ONE scalar instead of pulling
+    the whole trajectory to the host (a bulk read can crash/degrade the
+    relay session, PERF_NOTES.md + BENCH_r03 long_run.read_error). Matches
+    ate_rmse(align="se3") (Horn/Umeyama, 3x3 SVD)."""
+    import jax
+
+    @jax.jit
+    def _ate(est, gt):
+        est = est.astype(jnp.float64 if jax.config.jax_enable_x64
+                         else jnp.float32)
+        gt = gt.astype(est.dtype)
+        mu_e = est.mean(0)
+        mu_g = gt.mean(0)
+        E, G = est - mu_e, gt - mu_g
+        U, _, Vt = jnp.linalg.svd(E.T @ G)
+        sign = jnp.sign(jnp.linalg.det(U @ Vt))
+        S = jnp.diag(jnp.array([1.0, 1.0, 1.0], est.dtype).at[2].set(sign))
+        R = (U @ S @ Vt).T
+        t = mu_g - R @ mu_e
+        aligned = est @ R.T + t
+        return jnp.sqrt(jnp.mean(jnp.sum((aligned - gt) ** 2, axis=-1)))
+
+    return _ate(traj_t, jnp.asarray(np.asarray(gt_t, np.float32)))
+
+
 def ate_rmse(est_poses, gt_poses, align: str = "se3") -> float:
     """ATE RMSE after trajectory alignment (Horn / Umeyama; the ETH3D
     benchmark metric). `align`: "se3" (rigid), "sim3" (rigid + scale — the

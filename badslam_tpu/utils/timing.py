@@ -79,6 +79,25 @@ class Timing:
             cls._timers.clear()
 
     @classmethod
+    def snapshot(cls) -> Dict[str, tuple]:
+        """{name: (count, total_seconds)} copy of the registry — cheap;
+        diff two snapshots to attribute time to a run segment."""
+        with cls._lock:
+            return {k: (st.count, st.total) for k, st in cls._timers.items()}
+
+    @staticmethod
+    def delta(before: Dict[str, tuple], after: Dict[str, tuple],
+              top: int = 6) -> Dict[str, float]:
+        """Per-phase seconds spent between two snapshots (top-N by time)."""
+        out = {}
+        for name, (cnt, total) in after.items():
+            b = before.get(name, (0, 0.0))
+            d = total - b[1]
+            if d > 1e-4:
+                out[name] = d
+        return dict(sorted(out.items(), key=lambda kv: -kv[1])[:top])
+
+    @classmethod
     def report(cls, sort_by_total: bool = True) -> str:
         with cls._lock:
             items = sorted(

@@ -20,7 +20,89 @@ single slow sample (GC pause, relay queue spike) or on cold-compile calls
 
 from __future__ import annotations
 
+import functools
+import os
+import time
+
 from badslam_tpu.utils import logging as log
+
+
+class DegradedSessionError(RuntimeError):
+    """Raised by the frontend when the dispatch watchdog trips AND the
+    canary probe confirms the session is in the per-kernel sync fallback.
+    Carries the index of the last fully-processed frame so the recovery
+    path (save state -> exec a fresh process with --load_state) can resume
+    exactly where the degraded process stopped."""
+
+    def __init__(self, last_frame_index: int):
+        super().__init__(
+            f"device session degraded (confirmed by canary) after frame "
+            f"{last_frame_index}; restart the process to recover")
+        self.last_frame_index = last_frame_index
+
+
+# ---------------------------------------------------------------------------
+# Canary probe: a known-cost program that discriminates a DEGRADED session
+# (per-kernel synchronous fallback) from transient host/relay contention.
+# A watchdog trip alone is ambiguous — on the 1-core box the loop-detection
+# worker stealing CPU from the dispatch path inflates per-call host clocks
+# exactly like real degradation (observed in the round-3 long-run bench).
+# ---------------------------------------------------------------------------
+
+_CANARY_ITERS = 64
+
+
+@functools.lru_cache(maxsize=1)
+def _canary_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def canary(x):
+        # A fori_loop body is one XLA fusion per iteration: healthy
+        # sessions execute the whole loop in one async program (<10 ms
+        # even through a busy relay); the degraded per-kernel sync path
+        # pays a relay round trip per iteration (~2-7 ms each, measured
+        # in PERF_NOTES.md) -> >100 ms total. The cost model is therefore
+        # a step function, robust to ordinary queue noise.
+        def body(i, v):
+            return jnp.sin(v) * 1.0001 + 1e-6 * i
+
+        return jax.lax.fori_loop(0, _CANARY_ITERS, body, x)
+
+    return canary
+
+
+def probe_degradation(threshold_s: float = 0.08, reps: int = 3) -> bool:
+    """True iff the canary program's median runtime exceeds `threshold_s`
+    — i.e. the session is genuinely in the per-kernel sync fallback.
+    Compile (first call) is excluded; no device values are read."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    fn = _canary_fn()
+    x = jnp.zeros((1024,), jnp.float32)
+    jax.block_until_ready(fn(x))  # compile / warm (not timed)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(x))
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    log.info("degradation canary: median %.1f ms over %d runs "
+             "(threshold %.0f ms)", 1e3 * med, reps, 1e3 * threshold_s)
+    return med > threshold_s
+
+
+def fake_degrade_at() -> int:
+    """Test-only injection point: BADSLAM_FAKE_DEGRADE_AT=<frame> makes the
+    frontend treat that frame as a confirmed degradation (the recovery
+    path is then exercised without a real poisoned session). -1 = off."""
+    try:
+        return int(os.environ.get("BADSLAM_FAKE_DEGRADE_AT", "-1"))
+    except ValueError:
+        return -1
 
 
 class DispatchWatch:
@@ -67,8 +149,15 @@ class DispatchWatch:
                 "baseline) for %d consecutive calls — the device session "
                 "looks DEGRADED (on the axon relay this is the per-kernel "
                 "sync fallback after a device->host value read; see "
-                "PERF_NOTES.md). Restart the process to recover.",
+                "PERF_NOTES.md). Running the canary probe to confirm.",
                 self.name, seconds / max(self.baseline, 1e-9),
                 1e3 * seconds, 1e3 * (self.baseline or 0.0), self._slow_run)
             return True
         return False
+
+    def reset_trip(self) -> None:
+        """Re-arm after a canary probe ruled the trip a false positive
+        (transient host/queue contention): a later REAL degradation must
+        still be detected."""
+        self.tripped = False
+        self._slow_run = 0

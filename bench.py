@@ -94,16 +94,34 @@ def _render_frames(cam, scene, poses, raw_to_float_depth):
 
 
 def _ate_of(slam, gt) -> float:
-    """ATE RMSE of a finished run. DEVICE READ — call only after ALL timed
-    regions of the whole benchmark process (one read degrades the relay
-    session ~1000x for the rest of the process, PERF_NOTES.md)."""
+    """ATE RMSE of a finished run: computed ON DEVICE against the uploaded
+    ground truth, so exactly ONE scalar crosses to the host (a bulk
+    trajectory read crashed the TPU worker in round 3, BENCH_r03
+    long_run.read_error). Still call only after the caller's timed
+    regions — even one read degrades the relay session (PERF_NOTES.md)."""
     from badslam_tpu import synthetic as syn
-    from badslam_tpu.geometry import se3_np as s3
 
-    traj_q, traj_t = np.asarray(slam.traj_q), np.asarray(slam.traj_t)
-    est = [s3.SE3(traj_q[i].astype(float), traj_t[i].astype(float))
-           for i in range(len(gt))]
-    return syn.ate_rmse(est, gt)
+    gt_t = np.array([np.asarray(p.t, np.float32) for p in gt])
+    n = min(slam.traj_q.shape[0], len(gt_t))
+    ate_dev = syn.ate_rmse_device(slam.traj_t[:n], gt_t[:n])
+    return _read_scalar(ate_dev)
+
+
+def _read_scalar(x, retries: int = 1, wait_s: float = 5.0):
+    """Read one device scalar with a bounded retry: the first read after a
+    long run has crashed the TPU worker with a transient UNAVAILABLE
+    (BENCH_r03); a retry after a short wait recovers when the worker
+    restarted, and the caller gets the exception otherwise."""
+    import jax
+
+    for attempt in range(retries + 1):
+        try:
+            jax.block_until_ready(x)
+            return float(x)
+        except Exception:
+            if attempt == retries:
+                raise
+            time.sleep(wait_s)
 
 
 def bench_slam(cam, scene):
@@ -140,11 +158,21 @@ def bench_slam(cam, scene):
         jax.block_until_ready(slam.traj_q)
         return time.perf_counter() - t0, slam
 
-    one_pass(True)                 # warmup: compiles (cache persists)
-    dt, slam = one_pass(True)      # timed, chunked (the headline)
-    one_pass(False)                # warmup per-frame variant
-    dt_pf, _ = one_pass(False)     # timed, per-frame (continuity metric)
-    return SLAM_FRAMES / dt, SLAM_FRAMES / dt_pf, slam, gt
+    # Warm both variants (compiles persist), then time each REPS times and
+    # report median + all runs — round 3 shipped a single-sample regression
+    # that was indistinguishable from relay noise (VERDICT r03 weak #1).
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    one_pass(True)
+    one_pass(False)
+    runs_ch, runs_pf = [], []
+    slam = None
+    for _ in range(reps):
+        dt, slam = one_pass(True)
+        runs_ch.append(SLAM_FRAMES / dt)
+        dt_pf, _ = one_pass(False)
+        runs_pf.append(SLAM_FRAMES / dt_pf)
+    med = lambda xs: float(np.median(xs))
+    return med(runs_ch), med(runs_pf), runs_ch, runs_pf, slam, gt
 
 
 def bench_slam_scaling() -> dict:
@@ -207,11 +235,15 @@ def bench_slam_scaling() -> dict:
     marks = tuple(sorted({m for m in (100, 250, 500) if m < frames}
                          | {frames}))
 
+    from badslam_tpu.utils.timing import Timing
+
     def one_pass():
         video = _InMemoryVideo(cam, depths, rgbs)
         slam = BadSlam(cfg, video)
-        seg_t, t0 = [], time.perf_counter()
+        seg_t, seg_phases = [], []
+        t0 = time.perf_counter()
         last_t, last_f = t0, 0
+        last_snap = Timing.snapshot()
         i = 0
         while i < len(video):
             if slam.chunk_eligible(i, len(video)):
@@ -227,14 +259,25 @@ def bench_slam_scaling() -> dict:
                 jax.block_until_ready(slam.traj_q)
                 now = time.perf_counter()
                 seg_t.append((i - last_f) / (now - last_t))
+                # Per-segment phase attribution (round-3 verdict #1b: the
+                # 505->69 FPS collapse had no evidence separating
+                # detection-thread host cost from relay degradation).
+                snap = Timing.snapshot()
+                seg_phases.append({k: round(v, 2) for k, v in
+                                   Timing.delta(last_snap, snap).items()})
+                last_snap = snap
                 last_t, last_f = now, i
         jax.block_until_ready(slam.traj_q)
-        return slam, seg_t, frames / (time.perf_counter() - t0)
+        return slam, seg_t, seg_phases, frames / (time.perf_counter() - t0)
 
     one_pass()                        # warmup (compiles; cache persists)
-    from badslam_tpu.utils.timing import Timing
+    # Pre-compile the degradation canary so a mid-run watchdog trip costs
+    # a probe, not a compile (utils/watchdog.py). Also logs the healthy
+    # canary time for this session.
+    from badslam_tpu.utils.watchdog import probe_degradation
+    probe_degradation()
     Timing.reset()                    # phase breakdown covers the timed pass
-    slam, seg_fps, total_fps = one_pass()
+    slam, seg_fps, seg_phases, total_fps = one_pass()
 
     # Per-BA-iteration time at the final keyframe count (read-free:
     # block-synced wall time around single-iteration calls).
@@ -249,8 +292,9 @@ def bench_slam_scaling() -> dict:
     ba_iter_ms = 1e3 * (time.perf_counter() - t0) / reps
 
     out = {"frames": frames}
-    for m, fps in zip(marks, seg_fps):
+    for m, fps, ph in zip(marks, seg_fps, seg_phases):
         out[f"fps_at_{m}"] = round(fps, 2)
+        out[f"phases_to_{m}"] = ph
     out.update(
         fps_total=round(total_fps, 2),
         live_keyframes=slam.direct_ba.keyframes.live_count,
@@ -357,9 +401,13 @@ def _longrun_child() -> None:
     # one-JSON-line contract on stdout is untouched.
     print(Timing.report(), file=sys.stderr, flush=True)
     print(json.dumps(long_run), flush=True)  # timed results, pre-read
+    # Reads happen IMMEDIATELY after the timed sections while the session
+    # is still healthy: device-computed ATE (one scalar) first, then the
+    # device closure counter — each with a bounded UNAVAILABLE retry.
     try:
-        long_run["loop_closures"] = slam2.loop_closure_count
         long_run["ate_rmse_m"] = round(_ate_of(slam2, gt2), 6)
+        long_run["loop_closures"] = int(
+            _read_scalar(slam2._closure_count_dev))
     except Exception as e:
         long_run["read_error"] = repr(e)[:120]
     print(json.dumps(long_run), flush=True)
@@ -369,31 +417,46 @@ def _run_longrun_subprocess() -> dict:
     """Launch the long-run in a fresh process; return its last JSON line.
 
     The relay accepts a second client while the parent holds its session
-    (verified 2026-08-17: concurrent A/B processes both jit + read fine)."""
+    (verified 2026-08-17: concurrent A/B processes both jit + read fine).
+    If the child's post-run reads crashed the TPU worker (read_error) or
+    the child died, retry ONCE in a fresh process — compiles are warm in
+    the persistent cache, so the retry costs the run, not the compiles."""
     import subprocess
     import sys
 
-    proc = subprocess.run(
-        [sys.executable, __file__, "--longrun-child"],
-        capture_output=True, text=True)
-    if proc.stderr:
-        # Forward the child's stderr (phase Timing report + jax warnings):
-        # stdout keeps the one-JSON-line contract, stderr carries diagnosis.
-        print(proc.stderr, file=sys.stderr, flush=True)
-    last = None
-    for line in proc.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                last = json.loads(line)
-            except ValueError:
-                pass
-    if last is None:
-        return {"error": f"child rc={proc.returncode}: "
-                         f"{proc.stderr.strip()[-200:]}"}
-    if proc.returncode != 0:
-        last.setdefault("child_error", proc.stderr.strip()[-200:])
-    return last
+    def once():
+        proc = subprocess.run(
+            [sys.executable, __file__, "--longrun-child"],
+            capture_output=True, text=True)
+        if proc.stderr:
+            # Forward the child's stderr (phase Timing report + jax
+            # warnings): stdout keeps the one-JSON-line contract, stderr
+            # carries diagnosis.
+            print(proc.stderr, file=sys.stderr, flush=True)
+        last = None
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    last = json.loads(line)
+                except ValueError:
+                    pass
+        if last is None:
+            return {"error": f"child rc={proc.returncode}: "
+                             f"{proc.stderr.strip()[-200:]}"}
+        if proc.returncode != 0:
+            last.setdefault("child_error", proc.stderr.strip()[-200:])
+        return last
+
+    result = once()
+    if "error" in result or "read_error" in result:
+        retry = once()
+        retry["first_attempt"] = {k: result.get(k) for k in
+                                  ("error", "read_error") if k in result}
+        # Keep whichever attempt produced accuracy evidence.
+        if "ate_rmse_m" in retry or "error" in result:
+            return retry
+    return result
 
 
 def main() -> None:
@@ -422,19 +485,25 @@ def main() -> None:
     # own subprocess (own relay session, own prompt reads) so neither its
     # timing nor its reads interact with this process's state.
     errors = {}
+    odo_runs = []
     try:
-        odo_fps = bench_odometry(cam, scene)
+        for _ in range(3):
+            odo_runs.append(bench_odometry(cam, scene))
+        odo_fps = float(np.median(odo_runs))
     except Exception as e:
         odo_fps, errors["odometry"] = 0.0, repr(e)[:200]
     try:
-        slam_fps, slam_fps_pf, slam1, gt1 = bench_slam(cam, scene)
+        slam_fps, slam_fps_pf, runs_ch, runs_pf, slam1, gt1 = bench_slam(
+            cam, scene)
     except Exception as e:
-        slam_fps, slam_fps_pf, slam1, gt1 = 0.0, 0.0, None, None
+        slam_fps, slam_fps_pf, runs_ch, runs_pf, slam1, gt1 = (
+            0.0, 0.0, [], [], None, None)
         errors["slam"] = repr(e)[:200]
 
     # -------- parent reads (degradation tolerated from here on) --------
     # Guarded: the headline JSON line must print even if the TPU worker
-    # died mid-run — the driver records exactly one line.
+    # died mid-run — the driver records exactly one line. The ATE itself
+    # is computed on device; only one scalar is read.
     try:
         slam_ate = round(_ate_of(slam1, gt1), 8) if slam1 is not None else -1.0
     except Exception as e:
@@ -447,8 +516,11 @@ def main() -> None:
         "value": round(slam_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(slam_fps / 30.0, 3),
+        "value_runs": [round(v, 1) for v in runs_ch],
         "slam_fps_per_frame": round(slam_fps_pf, 2),
+        "per_frame_runs": [round(v, 1) for v in runs_pf],
         "vga_odometry_fps": round(odo_fps, 2),
+        "odometry_runs": [round(v, 1) for v in odo_runs],
         "slam_ate_rmse_m": slam_ate,
         "long_run": long_run,
         **({"errors": errors} if errors else {}),
