@@ -43,6 +43,7 @@ from badslam_tpu.loop.features import (
     KeyframeFeatures,
     extract_features,
     match_descriptors,
+    match_descriptors_by_word,
 )
 from badslam_tpu.loop.ransac import ransac_point_cloud_alignment
 from badslam_tpu.loop.vocabulary import (
@@ -249,10 +250,22 @@ class LoopDetector:
         rng: Optional[np.random.Generator] = None,
     ) -> Optional[Tuple[s3.SE3, int]]:
         """Descriptor matching + 3D-3D RANSAC. Returns
-        (cur_T_matched, inlier count) or None."""
+        (cur_T_matched, inlier count) or None.
+
+        Matching uses the vocabulary direct index when both keyframes are
+        indexed (word-bucketed, DBoW2 GEOM_DI analog — an order of
+        magnitude fewer Hamming tests per candidate on the 1-core host);
+        brute force otherwise."""
         cur = self.features[cur_id]
         old = self.features[matched_id]
-        pairs = match_descriptors(cur.descriptors, old.descriptors)
+        if (self._db is not None and cur_id in self._db.words
+                and matched_id in self._db.words):
+            pairs = match_descriptors_by_word(
+                cur.descriptors, self._db.words[cur_id],
+                old.descriptors, self._db.words[matched_id],
+                k=self._vocab.k)
+        else:
+            pairs = match_descriptors(cur.descriptors, old.descriptors)
         if len(pairs) < self.min_matches:
             return None
         a = old.points_local[pairs[:, 1]]   # matched keyframe frame

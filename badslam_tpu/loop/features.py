@@ -97,6 +97,61 @@ def match_descriptors(
     return np.stack([ia, best[ia]], axis=-1).astype(np.int32)
 
 
+def match_descriptors_by_word(
+    da: np.ndarray, wa: np.ndarray, db_: np.ndarray, wb: np.ndarray,
+    k: int, max_distance: int = 64, ratio: float = 0.8,
+) -> np.ndarray:
+    """Direct-index-assisted matching (DBoW2 FeatureVector / GEOM_DI,
+    the reference's loop_detector.cc matching path): only descriptor
+    pairs whose vocabulary BRANCH (level-1 node) agrees are compared —
+    ~k-fold fewer Hamming tests than the brute-force [Na, Nb] matrix,
+    which billed ~8 ms per BoW candidate on the 1-core host. Branch-level
+    (not leaf-level) bucketing keeps recall: descriptor noise that flips
+    the leaf word rarely flips the branch.
+
+    `wa`/`wb` are the leaf word ids from BinaryVocabulary.quantize (branch
+    = word // k with k**2 words). Returns [M, 2] (i in a, j in b) pairs
+    under the same max-distance + Lowe-ratio contract as
+    match_descriptors."""
+    if len(da) == 0 or len(db_) == 0:
+        return np.zeros((0, 2), np.int32)
+    k = max(int(k), 1)
+    ba = wa // k
+    bb = wb // k
+    order = np.argsort(bb, kind="stable")
+    bb_s = bb[order]
+    start = np.searchsorted(bb_s, ba, side="left")
+    end = np.searchsorted(bb_s, ba, side="right")
+    cnt = end - start
+    total = int(cnt.sum())
+    if total == 0:
+        return np.zeros((0, 2), np.int32)
+    ia = np.repeat(np.arange(len(da)), cnt)
+    offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    jb = order[np.repeat(start, cnt) + offs]
+
+    xa = np.ascontiguousarray(da).view(np.uint64)
+    xb = np.ascontiguousarray(db_).view(np.uint64)
+    dist = np.bitwise_count(
+        np.bitwise_xor(xa[ia], xb[jb])).sum(axis=-1).astype(np.int32)
+
+    # Best + second-best per a-feature via one lexsort over (ia, dist).
+    o = np.lexsort((dist, ia))
+    ia_s, jb_s, d_s = ia[o], jb[o], dist[o]
+    first = np.ones(len(o), bool)
+    first[1:] = ia_s[1:] != ia_s[:-1]
+    best_rows = np.nonzero(first)[0]
+    best_i, best_j, best_d = ia_s[best_rows], jb_s[best_rows], d_s[best_rows]
+    second_rows = best_rows + 1
+    has_second = (second_rows < len(o))
+    has_second[has_second] &= ia_s[second_rows[has_second]] == \
+        best_i[has_second]
+    second_d = np.where(
+        has_second, d_s[np.minimum(second_rows, len(o) - 1)], 32 * 8 + 1)
+    ok = (best_d < max_distance) & (best_d < ratio * second_d)
+    return np.stack([best_i[ok], best_j[ok]], axis=-1).astype(np.int32)
+
+
 def bow_score(da: np.ndarray, db: np.ndarray, bits: int = 12) -> float:
     """Cheap bag-of-binary-words similarity for candidate ranking.
 

@@ -147,6 +147,9 @@ class BowDatabase:
         self.vocab = vocab
         self.vectors: Dict[int, Dict[int, float]] = {}
         self.inverted: Dict[int, Dict[int, float]] = {}
+        # Per-keyframe word ids aligned with the descriptor order — the
+        # DBoW2 "direct index" used for word-bucketed matching.
+        self.words: Dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
         return len(self.vectors)
@@ -154,13 +157,16 @@ class BowDatabase:
     def add(self, kf_id: int, descriptors: np.ndarray) -> Dict[int, float]:
         if kf_id in self.vectors:
             self.remove(kf_id)
-        vec = bow_vector(self.vocab.quantize(descriptors))
+        words = self.vocab.quantize(descriptors)
+        vec = bow_vector(words)
         self.vectors[kf_id] = vec
+        self.words[kf_id] = words
         for w, weight in vec.items():
             self.inverted.setdefault(w, {})[kf_id] = weight
         return vec
 
     def remove(self, kf_id: int) -> None:
+        self.words.pop(kf_id, None)
         vec = self.vectors.pop(kf_id, None)
         if vec is None:
             return

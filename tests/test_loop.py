@@ -341,3 +341,37 @@ def test_device_pose_graph_matches_host():
         jnp.float32(0.0))
     np.testing.assert_allclose(np.asarray(nq), np.asarray(q), atol=1e-6)
     np.testing.assert_allclose(np.asarray(nt), np.asarray(t), atol=1e-6)
+
+
+def test_match_by_word_agrees_with_brute_force():
+    """Direct-index matching (word-bucketed, DBoW2 GEOM_DI analog) must
+    recover the overwhelming majority of brute-force matches: a true
+    correspondence shares its vocabulary branch almost surely."""
+    import numpy as np
+
+    from badslam_tpu.loop.features import (
+        match_descriptors,
+        match_descriptors_by_word,
+    )
+    from badslam_tpu.loop.vocabulary import BinaryVocabulary
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (400, 32), dtype=np.uint8)
+    # b = a with a few bit flips (noisy re-observation)
+    flips = rng.integers(0, 256, (400, 32), dtype=np.uint8) \
+        & rng.integers(0, 256, (400, 32), dtype=np.uint8) \
+        & rng.integers(0, 256, (400, 32), dtype=np.uint8)
+    noisy = base ^ flips
+    perm = rng.permutation(400)
+    vocab = BinaryVocabulary.train(base, k=16, iters=3)
+    wa = vocab.quantize(base)
+    wb = vocab.quantize(noisy[perm])
+    brute = match_descriptors(base, noisy[perm])
+    worded = match_descriptors_by_word(base, wa, noisy[perm], wb,
+                                       k=vocab.k)
+    brute_set = {tuple(p) for p in brute}
+    worded_set = {tuple(p) for p in worded}
+    # every worded match that brute found must agree; recall >= 80%
+    assert len(worded_set & brute_set) >= 0.8 * len(brute_set)
+    correct = sum(perm[j] == i for i, j in worded)
+    assert correct >= 0.9 * len(worded)
