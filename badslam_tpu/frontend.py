@@ -1117,6 +1117,65 @@ class BadSlam:
                 lv.snapshot(self)
             elif cmd.startswith("set:"):
                 self._apply_config_edit(cmd[4:])
+            elif cmd.startswith("move_kf:"):
+                # Debug tool: manually translate a keyframe (the reference
+                # GUI's manual frame move, gui_main_window.h:143) — fault
+                # injection for BA/loop-closure convergence inspection.
+                self._debug_move_keyframe(cmd[len("move_kf:"):])
+                lv.snapshot(self)
+            elif cmd.startswith("delete_kf:"):
+                self._debug_delete_keyframe(cmd[len("delete_kf:"):])
+                lv.snapshot(self)
+
+    def _debug_move_keyframe(self, spec: str) -> None:
+        """`<slot>:<dx>,<dy>,<dz>` — translate a keyframe's pose (manual
+        frame move debug tool, gui_main_window.h:143). The next BA run
+        should pull it back; watching it converge (or not) is the tool's
+        point."""
+        from badslam_tpu.utils.logging import warning
+
+        try:
+            slot_s, _, vec = spec.partition(":")
+            slot = int(slot_s)
+            dx, dy, dz = (float(v) for v in vec.split(","))
+        except ValueError:
+            warning("ignoring malformed move_kf command %r", spec)
+            return
+        ks = self.direct_ba.keyframes
+        if not (0 <= slot < ks.count) or slot in ks.free_slot_set:
+            warning("move_kf: slot %d is not a live keyframe", slot)
+            return
+        pose = ks.pose(slot)
+        moved = se3.SE3(pose.q, pose.t + jnp.array([dx, dy, dz],
+                                                   jnp.float32))
+        ks.set_pose(slot, moved)
+        if slot == self.base_kf_id:
+            self.base_kf_global_T_frame = moved
+
+    def _debug_delete_keyframe(self, spec: str) -> None:
+        """`<slot>` — delete a keyframe outright (keyframe-delete debug
+        tool, gui_main_window.h:234); its slot is recycled and the loop
+        detector forgets its features."""
+        from badslam_tpu.utils.logging import warning
+
+        try:
+            slot = int(spec)
+        except ValueError:
+            warning("ignoring malformed delete_kf command %r", spec)
+            return
+        ks = self.direct_ba.keyframes
+        if not (0 <= slot < ks.count) or slot in ks.free_slot_set:
+            warning("delete_kf: slot %d is not a live keyframe", slot)
+            return
+        if slot == self.base_kf_id or ks.live_count <= 1:
+            warning("delete_kf: refusing to delete the odometry base "
+                    "keyframe (slot %d)", slot)
+            return
+        ks.remove_keyframe(slot)
+        if self._loop_thread is not None:
+            self._loop_thread.remove(slot)
+        elif self.loop_detector is not None:
+            self.loop_detector.remove_keyframe(slot)
 
     def _remember_keyframe_poses(self) -> Tuple[jax.Array, jax.Array]:
         """Snapshot keyframe poses before BA (RememberKeyframePoses analog,

@@ -70,6 +70,17 @@ _HTML = """<!DOCTYPE html>
      z-index:2; text-align:right">
  <img id="kfrgb" style="display:block; margin-bottom:4px; border:1px solid #a60">
  <img id="kfdepth" style="display:block; border:1px solid #a60">
+ <div id="kftools" style="margin-top:4px">
+  <!-- debug/fault-injection tools (gui_main_window.h:143,234 analogs):
+       manually move the picked keyframe or delete it outright -->
+  <button onclick="kfNudge(0.02,0,0)">+x</button>
+  <button onclick="kfNudge(-0.02,0,0)">-x</button>
+  <button onclick="kfNudge(0,0.02,0)">+y</button>
+  <button onclick="kfNudge(0,-0.02,0)">-y</button>
+  <button onclick="kfNudge(0,0,0.02)">+z</button>
+  <button onclick="kfNudge(0,0,-0.02)">-z</button>
+  <button onclick="kfDelete()" style="color:#f66">delete KF</button>
+ </div>
 </div>
 <div id="ims"></div>
 <canvas id="c"></canvas>
@@ -378,6 +389,19 @@ async function control(cmd){
   } catch (e) {}
 }
 
+// Debug/fault-injection tools on the picked keyframe (the reference GUI's
+// manual frame move + keyframe delete, gui_main_window.h:143,234).
+function kfNudge(dx, dy, dz){
+  if (picked < 0 || !kfIds) return;
+  control('move_kf:' + kfIds[picked][0] + ':' + dx + ',' + dy + ',' + dz);
+}
+function kfDelete(){
+  if (picked < 0 || !kfIds) return;
+  control('delete_kf:' + kfIds[picked][0]);
+  picked = -1;
+  document.getElementById('kfpanel').style.display = 'none';
+}
+
 const INLINE = __DATA__;
 if (INLINE) setData(INLINE);
 if (POLL_MS > 0){
@@ -622,11 +646,13 @@ class LiveViewer:
             self.paused = True
             self._release_frame = True
             self._step.set()
-        elif cmd in ("ba", "densify") or cmd.startswith("set:"):
+        elif (cmd in ("ba", "densify") or cmd.startswith("set:")
+              or cmd.startswith("move_kf:") or cmd.startswith("delete_kf:")):
             # Manual BA / densify actions (gui_main_window.cc menu
-            # actions) and runtime config edits (settings-window forms):
-            # queued here, applied by the frame loop on the SLAM thread
-            # (never from the HTTP thread).
+            # actions), runtime config edits (settings-window forms), and
+            # the keyframe move/delete debug tools (gui_main_window.h:143,
+            # 234): queued here, applied by the frame loop on the SLAM
+            # thread (never from the HTTP thread).
             with self._cmd_lock:
                 self._commands.append(cmd)
             self._step.set()  # release a paused loop so the command runs

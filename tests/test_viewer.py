@@ -135,3 +135,51 @@ def test_live_viewer_http_endpoints(mini_slam, tmp_path):
         assert cfg["num_scales"] == mini_slam.config.num_scales
     finally:
         v.close()
+
+
+def test_debug_keyframe_move_and_delete(mini_slam):
+    """Manual frame-move + keyframe-delete debug tools
+    (gui_main_window.h:143,234 analogs) routed through the viewer command
+    queue."""
+    slam = mini_slam
+    ks = slam.direct_ba.keyframes
+    live_before = ks.live_count
+    assert live_before >= 3
+
+    # pick a live, non-base slot
+    slot = next(s for s in range(ks.count)
+                if s not in ks.free_slot_set and s != slam.base_kf_id)
+    t_before = np.asarray(ks.t[slot]).copy()
+
+    class _FakeViewer:
+        def __init__(self, cmds):
+            self._cmds = cmds
+
+        def take_commands(self):
+            c, self._cmds = self._cmds, []
+            return c
+
+        def snapshot(self, s):
+            pass
+
+    slam.live_viewer = _FakeViewer([f"move_kf:{slot}:0.05,0,0"])
+    slam._apply_viewer_commands()
+    t_after = np.asarray(ks.t[slot])
+    assert abs((t_after - t_before)[0] - 0.05) < 1e-6
+
+    slam.live_viewer = _FakeViewer([f"delete_kf:{slot}"])
+    slam._apply_viewer_commands()
+    assert ks.live_count == live_before - 1
+    assert slot in ks.free_slot_set
+
+    # base keyframe refuses deletion; malformed commands are ignored
+    slam.live_viewer = _FakeViewer(
+        [f"delete_kf:{slam.base_kf_id}", "move_kf:banana", "delete_kf:xyz"])
+    slam._apply_viewer_commands()
+    assert ks.live_count == live_before - 1
+    slam.live_viewer = None
+
+    # the viewer HTML ships the tools
+    from badslam_tpu.viz.viewer import _HTML
+
+    assert "kfNudge" in _HTML and "delete_kf:" in _HTML
