@@ -267,25 +267,32 @@ def _iterations_while(smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s,
     return smap, q_s, t_s, activation, last_active, last_covis, i
 
 
-@functools.partial(jax.jit, static_argnames=_BA_STATICS + ("max_iterations",),
+@functools.partial(jax.jit, static_argnames=_BA_STATICS,
                    donate_argnums=(0,))
 def _ba_iterations(smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s,
                    rgb_s, q_s, t_s, valid, activation, last_active,
                    last_covis, covis, ba_iter, min_obs, *,
-                   max_iterations: int, **statics):
-    """All iterations over the FULL keyframe capacity in one program."""
+                   max_iterations, **statics):
+    """All iterations over the FULL keyframe capacity in one program.
+
+    `max_iterations` is TRACED (it only feeds the while_loop predicate):
+    the parallel-BA drain calls this with a queue-depth-dependent count
+    (1..2*chunk), and a static count compiled one ~25-50 s relay program
+    PER DISTINCT VALUE per keyframe rung — measured landing mid-run in
+    the round-4 long-run bench (BA-iterations max 52.2 s in the timed
+    pass, the dominant cause of its 360->19 FPS segment collapse)."""
     return _iterations_while(
         smap, cam, depth_s, nx_s, ny_s, radius2_s, intensity_s, rgb_s,
         q_s, t_s, valid, activation, last_active, last_covis, covis,
         ba_iter, min_obs, max_iterations, statics)
 
 
-@functools.partial(jax.jit, static_argnames=_BA_STATICS + ("max_iterations",),
+@functools.partial(jax.jit, static_argnames=_BA_STATICS,
                    donate_argnums=(0,))
 def _ba_iterations_bucketed(smap, cam, sel, depth_s, nx_s, ny_s, radius2_s,
                             intensity_s, rgb_s, q_s, t_s, valid, activation,
                             last_active, last_covis, covis, ba_iter, min_obs,
-                            *, max_iterations: int, **statics):
+                            *, max_iterations, **statics):
     """Keyframe-bucketed BA program: gather the live keyframes into a dense
     pow-2 substack (`sel` [B] slot ids — live slots first, padded with
     DISTINCT dead slot ids so the scatter back is an injection), run all
@@ -843,7 +850,8 @@ class DirectBA:
                 (self.surfels, ks.q, ks.t, ks.activation,
                  ks.last_active_iter, ks.last_covis_iter, _) = fn(
                     *args,
-                    max_iterations=max_iterations,
+                    # traced (single compile per rung; see _ba_iterations)
+                    max_iterations=jnp.int32(max_iterations),
                     baseline_fx=c.baseline_fx,
                     cell_size=c.sparse_surfel_cell_size,
                     merge_dist_factor=c.surfel_merge_dist_factor,

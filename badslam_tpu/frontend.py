@@ -422,7 +422,7 @@ class BadSlam:
             return
         now = time.perf_counter()
         if now - self._last_canary_check < 30.0:
-            watch.reset_trip()
+            watch.reset_trip(quiet_s=30.0)
             return
         self._last_canary_check = now
         if wd.probe_degradation():
@@ -431,7 +431,7 @@ class BadSlam:
 
         warning("%s: canary probe healthy — the trip was transient "
                 "host/queue contention, continuing", watch.name)
-        watch.reset_trip()
+        watch.reset_trip(quiet_s=30.0)
 
     @property
     def loop_closure_count(self) -> int:

@@ -500,32 +500,40 @@ def write_tum_dataset(
             f.write("\n".join(gt_lines) + "\n")
 
 
-def ate_rmse_device(traj_t, gt_t):
-    """SE3-aligned ATE RMSE computed ON DEVICE: one jitted program over the
-    device trajectory buffer and an uploaded [F, 3] ground-truth array,
-    returning a scalar. Benchmarks read this ONE scalar instead of pulling
-    the whole trajectory to the host (a bulk read can crash/degrade the
-    relay session, PERF_NOTES.md + BENCH_r03 long_run.read_error). Matches
-    ate_rmse(align="se3") (Horn/Umeyama, 3x3 SVD)."""
+def ate_moments_device(traj_t, gt_t):
+    """Device half of the SE3-aligned ATE: reduce the device trajectory and
+    an uploaded [F, 3] ground truth to the Horn/Umeyama sufficient
+    statistics (C = E^T G [3,3], sum|E|^2, sum|G|^2) with mean/center/
+    matmul ops ONLY. The SVD runs on the HOST (`ate_rmse_from_moments`):
+    `jnp.linalg.svd` crashed the axon TPU worker at the post-long-run read
+    in BOTH round-4 bench children ("kernel fault", BENCH_r04
+    long_run.read_error) — and an 11-float moments read is as cheap as the
+    former one-scalar read while keeping the device program crash-proof
+    reductions."""
     import jax
 
     @jax.jit
-    def _ate(est, gt):
-        est = est.astype(jnp.float64 if jax.config.jax_enable_x64
-                         else jnp.float32)
-        gt = gt.astype(est.dtype)
+    def _m(est, gt):
+        est = est.astype(jnp.float32)
+        gt = gt.astype(jnp.float32)
         mu_e = est.mean(0)
         mu_g = gt.mean(0)
         E, G = est - mu_e, gt - mu_g
-        U, _, Vt = jnp.linalg.svd(E.T @ G)
-        sign = jnp.sign(jnp.linalg.det(U @ Vt))
-        S = jnp.diag(jnp.array([1.0, 1.0, 1.0], est.dtype).at[2].set(sign))
-        R = (U @ S @ Vt).T
-        t = mu_g - R @ mu_e
-        aligned = est @ R.T + t
-        return jnp.sqrt(jnp.mean(jnp.sum((aligned - gt) ** 2, axis=-1)))
+        return E.T @ G, (E * E).sum(), (G * G).sum()
 
-    return _ate(traj_t, jnp.asarray(np.asarray(gt_t, np.float32)))
+    return _m(traj_t, jnp.asarray(np.asarray(gt_t, np.float32)))
+
+
+def ate_rmse_from_moments(C, se, sg, n: int) -> float:
+    """Host half: closed-form minimum of the aligned residual.
+    min_R sum|R E_i - G_i|^2 = se + sg - 2*(s1 + s2 + sign(det(U V^T))*s3)
+    with C = U diag(s) V^T (Kabsch). Matches ate_rmse(align="se3")."""
+    C = np.asarray(C, np.float64)
+    U, sv, Vt = np.linalg.svd(C)
+    s = np.sign(np.linalg.det(U @ Vt))
+    resid = max(float(se) + float(sg)
+                - 2.0 * (sv[0] + sv[1] + s * sv[2]), 0.0)
+    return float(np.sqrt(resid / n))
 
 
 def ate_rmse(est_poses, gt_poses, align: str = "se3") -> float:

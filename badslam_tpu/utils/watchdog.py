@@ -130,6 +130,7 @@ class DispatchWatch:
         self._seen = 0
         self._slow_run = 0
         self.tripped = False
+        self._quiet_until = 0.0
 
     def sample(self, seconds: float) -> bool:
         """Record one duration; returns True iff this call tripped the
@@ -144,6 +145,8 @@ class DispatchWatch:
         self._slow_run = self._slow_run + 1 if slow else 0
         if self._slow_run >= self.patience:
             self.tripped = True
+            if time.perf_counter() < self._quiet_until:
+                return True  # re-trip inside a ruled-out contention window
             log.warning(
                 "%s: dispatch time jumped %.0fx (%.1f ms vs %.2f ms "
                 "baseline) for %d consecutive calls — the device session "
@@ -155,9 +158,14 @@ class DispatchWatch:
             return True
         return False
 
-    def reset_trip(self) -> None:
+    def reset_trip(self, quiet_s: float = 0.0) -> None:
         """Re-arm after a canary probe ruled the trip a false positive
         (transient host/queue contention): a later REAL degradation must
-        still be detected."""
+        still be detected. `quiet_s` suppresses the warning log (not the
+        detection) for that many seconds — sustained 1-core contention
+        otherwise re-trips every `patience` frames and floods the log
+        (observed 4 warnings/s in the round-4 bench)."""
         self.tripped = False
         self._slow_run = 0
+        if quiet_s > 0.0:
+            self._quiet_until = time.perf_counter() + quiet_s

@@ -94,21 +94,25 @@ def _render_frames(cam, scene, poses, raw_to_float_depth):
 
 
 def _ate_of(slam, gt) -> float:
-    """ATE RMSE of a finished run: computed ON DEVICE against the uploaded
-    ground truth, so exactly ONE scalar crosses to the host (a bulk
-    trajectory read crashed the TPU worker in round 3, BENCH_r03
-    long_run.read_error). Still call only after the caller's timed
-    regions — even one read degrades the relay session (PERF_NOTES.md)."""
+    """ATE RMSE of a finished run: the device reduces the trajectory to the
+    11-float Horn moments (mean/center/matmul only) and the 3x3 SVD runs
+    on the HOST — `jnp.linalg.svd` on device crashed the TPU worker at
+    this read in BOTH round-4 long-run children (kernel fault) and a bulk
+    trajectory read did the same in round 3. Still call only after the
+    caller's timed regions — even one read degrades the relay session
+    (PERF_NOTES.md)."""
     from badslam_tpu import synthetic as syn
 
     gt_t = np.array([np.asarray(p.t, np.float32) for p in gt])
     n = min(slam.traj_q.shape[0], len(gt_t))
-    ate_dev = syn.ate_rmse_device(slam.traj_t[:n], gt_t[:n])
-    return _read_scalar(ate_dev)
+    C, se, sg = syn.ate_moments_device(slam.traj_t[:n], gt_t[:n])
+    moments = [_read_scalar(x, as_array=True) for x in (C, se, sg)]
+    return syn.ate_rmse_from_moments(moments[0], moments[1], moments[2], n)
 
 
-def _read_scalar(x, retries: int = 1, wait_s: float = 5.0):
-    """Read one device scalar with a bounded retry: the first read after a
+def _read_scalar(x, retries: int = 1, wait_s: float = 5.0,
+                 as_array: bool = False):
+    """Read one device value with a bounded retry: the first read after a
     long run has crashed the TPU worker with a transient UNAVAILABLE
     (BENCH_r03); a retry after a short wait recovers when the worker
     restarted, and the caller gets the exception otherwise."""
@@ -117,7 +121,7 @@ def _read_scalar(x, retries: int = 1, wait_s: float = 5.0):
     for attempt in range(retries + 1):
         try:
             jax.block_until_ready(x)
-            return float(x)
+            return np.asarray(x) if as_array else float(x)
         except Exception:
             if attempt == retries:
                 raise
@@ -405,11 +409,17 @@ def _longrun_child() -> None:
     # is still healthy: device-computed ATE (one scalar) first, then the
     # device closure counter — each with a bounded UNAVAILABLE retry.
     try:
-        long_run["ate_rmse_m"] = round(_ate_of(slam2, gt2), 6)
+        # Closure counter FIRST: it reads an existing int buffer (no new
+        # kernel), so a crash in the ATE kernels can no longer take the
+        # closure evidence down with it (BENCH_r03/r04 lost both).
         long_run["loop_closures"] = int(
             _read_scalar(slam2._closure_count_dev))
     except Exception as e:
         long_run["read_error"] = repr(e)[:120]
+    try:
+        long_run["ate_rmse_m"] = round(_ate_of(slam2, gt2), 6)
+    except Exception as e:
+        long_run.setdefault("read_error", repr(e)[:120])
     print(json.dumps(long_run), flush=True)
 
 
@@ -454,8 +464,11 @@ def _run_longrun_subprocess() -> dict:
         retry["first_attempt"] = {k: result.get(k) for k in
                                   ("error", "read_error") if k in result}
         # Keep whichever attempt produced accuracy evidence.
-        if "ate_rmse_m" in retry or "error" in result:
+        if ("ate_rmse_m" in retry or "loop_closures" in retry
+                or "error" in result):
             return retry
+        result["retry_also_failed"] = {
+            k: retry.get(k) for k in ("error", "read_error") if k in retry}
     return result
 
 

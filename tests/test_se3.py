@@ -93,3 +93,33 @@ def test_batched_exp():
     for i in range(8):
         Ti = se3.exp(xis[i])
         np.testing.assert_allclose(np.asarray(T.q[i]), np.asarray(Ti.q), atol=1e-6)
+
+
+def test_ate_moments_match_host_se3_alignment():
+    """Device-moments + host-SVD ATE (synthetic.ate_moments_device /
+    ate_rmse_from_moments — the crash-proof bench path, BENCH_r04
+    long_run.read_error) must equal the host Horn/Umeyama reference
+    ate_rmse(align='se3')."""
+    from badslam_tpu import synthetic as syn
+
+    rng = np.random.default_rng(3)
+    n = 50
+    gt_t = rng.normal(size=(n, 3)).astype(np.float32)
+    # est = a rigidly-moved, noisy copy of gt
+    ang = 0.4
+    R = np.array([[np.cos(ang), -np.sin(ang), 0.0],
+                  [np.sin(ang), np.cos(ang), 0.0],
+                  [0.0, 0.0, 1.0]])
+    est_t = (gt_t @ R.T + np.array([0.3, -0.1, 0.2])
+             + 0.01 * rng.normal(size=(n, 3))).astype(np.float32)
+
+    C, se_m, sg = syn.ate_moments_device(jnp.asarray(est_t), gt_t)
+    got = syn.ate_rmse_from_moments(np.asarray(C), float(se_m),
+                                    float(sg), n)
+
+    identity_q = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+    mk = lambda ts: [se3.SE3(identity_q, t) for t in ts]
+    want = syn.ate_rmse(mk(est_t), mk(gt_t), align="se3")
+    # f32 device moments vs the f64 host path: the residual
+    # se + sg - 2*trace cancels heavily, so tolerance is ~1e-3 relative.
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-6)

@@ -38,6 +38,16 @@ def main(argv=None) -> int:
     p.add_argument("--max_keyframe_count", type=int, default=512)
     p.add_argument("--final_ba", action="store_true")
     p.add_argument("--no_loop", action="store_true")
+    p.add_argument("--use_pcg", action="store_true",
+                   help="final BA uses the global PCG solver")
+    p.add_argument("--distorted", action="store_true",
+                   help="render through a radtan camera (the pipeline then "
+                        "undistorts on device inside the fused frame — the "
+                        "real-ETH3D input shape)")
+    p.add_argument("--median", type=int, default=0,
+                   help="median_filter_and_densify_iterations")
+    p.add_argument("--depth_noise", type=float, default=0.0,
+                   help="sigma = depth_noise * d^2 (stereo sensor model)")
     p.add_argument("--align", default="se3", choices=["se3", "sim3", "none"])
     args = p.parse_args(argv)
 
@@ -58,7 +68,12 @@ def main(argv=None) -> int:
         cam = syn.default_camera(args.width, args.height)
         scene = syn.random_plane_scene(np.random.default_rng(11), 6)
         gt = syn.smooth_trajectory(args.frames, scale=0.003)
-        syn.write_tum_dataset(dataset, cam, scene, gt)
+        syn.write_tum_dataset(
+            dataset, cam, scene, gt,
+            distortion=(-0.28, 0.07, 0.0002, -0.0001) if args.distorted
+            else None,
+            depth_noise=args.depth_noise,
+        )
     else:
         dataset = args.dataset
 
@@ -73,6 +88,11 @@ def main(argv=None) -> int:
     ]
     if args.final_ba:
         cli_args.append("--final_ba")
+    if args.use_pcg:
+        cli_args += ["--use_pcg", "true"]
+    if args.median:
+        cli_args += ["--median_filter_and_densify_iterations",
+                     str(args.median)]
     if args.no_loop:
         cli_args += ["--enable_loop_detection", "false"]
     t0 = time.perf_counter()
