@@ -130,6 +130,55 @@ def load_tum_trajectory(path: str) -> Tuple[List[float], List[se3.SE3]]:
     return timestamps, poses
 
 
+def _read_tum_file_list(path: str) -> List[Tuple[float, str]]:
+    """One TUM rgb.txt/depth.txt: 'timestamp filename' per line."""
+    out: List[Tuple[float, str]] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            out.append((float(parts[0]), parts[1]))
+    return out
+
+
+def associate_frames(
+    rgb: List[Tuple[float, str]],
+    depth: List[Tuple[float, str]],
+    max_difference: float = 0.02,
+) -> List[Tuple[float, str, float, str]]:
+    """Match rgb/depth streams by nearest timestamp within a window.
+
+    Real TUM sensors run the two streams at independent rates with drops;
+    the reference requires the benchmark's associate.py to be run first
+    (rgbd_video_io_tum_dataset.h:122-127). This builds the same pairing
+    in-loader: each rgb frame takes its nearest depth frame within
+    `max_difference` seconds (associate.py's default), each depth frame
+    used at most once, ties resolved to the earlier candidate — a sorted
+    two-pointer sweep instead of associate.py's O(N^2) candidate sort.
+    """
+    rgb = sorted(rgb)
+    depth = sorted(depth)
+    out: List[Tuple[float, str, float, str]] = []
+    j = 0           # first depth frame with timestamp >= current rgb ts
+    last_used = -1  # each depth frame pairs at most once
+    for ts, fname in rgb:
+        while j < len(depth) and depth[j][0] < ts:
+            j += 1
+        best = None
+        for k in (j - 1, j):  # the two straddling candidates
+            if last_used < k < len(depth):
+                dt = abs(depth[k][0] - ts)
+                if dt <= max_difference and (best is None or dt < best[0]):
+                    best = (dt, k)
+        if best is not None:
+            k = best[1]
+            out.append((ts, fname, depth[k][0], depth[k][1]))
+            last_used = k
+    return out
+
+
 def load_tum_dataset(
     path: str,
     trajectory_filename: Optional[str] = None,
@@ -161,21 +210,39 @@ def load_tum_dataset(
     color_paths: List[str] = []
     depth_paths: List[str] = []
     timestamps: List[float] = []
-    with open(os.path.join(path, "associated.txt")) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            rgb_ts, rgb_file, depth_ts, depth_file = line.split()[:4]
+    assoc_path = os.path.join(path, "associated.txt")
+    if os.path.exists(assoc_path):
+        with open(assoc_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                rgb_ts, rgb_file, depth_ts, depth_file = line.split()[:4]
+                color_paths.append(os.path.join(path, rgb_file))
+                depth_paths.append(os.path.join(path, depth_file))
+                timestamps.append(float(rgb_ts))
+    elif os.path.exists(os.path.join(path, "rgb.txt")) and os.path.exists(
+            os.path.join(path, "depth.txt")):
+        # Raw TUM download (no associate.py run): build the association
+        # in-loader. The reference errors out here
+        # (rgbd_video_io_tum_dataset.h:165-169).
+        pairs = associate_frames(
+            _read_tum_file_list(os.path.join(path, "rgb.txt")),
+            _read_tum_file_list(os.path.join(path, "depth.txt")))
+        for rgb_ts, rgb_file, _, depth_file in pairs:
             color_paths.append(os.path.join(path, rgb_file))
             depth_paths.append(os.path.join(path, depth_file))
-            timestamps.append(float(rgb_ts))
+            timestamps.append(rgb_ts)
+    else:
+        raise FileNotFoundError(
+            f"{assoc_path} (and no rgb.txt/depth.txt to associate)")
 
     if not color_paths:
         raise ValueError(f"empty associated.txt in {path}")
 
     # Image size from the first frame.
-    first = _imread_depth(depth_paths[0])
+    first_depth_path = depth_paths[0]
+    first = _imread_depth(first_depth_path)
     h, w = first.shape
     camera = PinholeCamera(fx=fx, fy=fy, cx=cx, cy=cy, width=w, height=h)
 
@@ -208,32 +275,31 @@ def load_tum_dataset(
 
         camera = decide_undistorted_camera(src, avoid_invalid_pixels=False)
 
-    video = RGBDVideo(
-        base_path=path,
-        color_paths=color_paths,
-        depth_paths=depth_paths,
-        timestamps=timestamps,
-        camera=camera,
-    )
-    video._depth_cache[0] = first
-
-    if src is not None:
-        video.undistortion_map = src.undistortion_map(camera)
-
+    frame_poses: List[Optional[se3.SE3]] = [None] * len(timestamps)
     if trajectory_filename:
         ts, poses = load_tum_trajectory(os.path.join(path, trajectory_filename))
         # Interpolate the trajectory at each frame timestamp: translation
         # lerp + quaternion slerp between the bracketing trajectory poses
         # (ReadTUMRGBDDatasetAssociatedAndCalibrated semantics,
         # rgbd_video_io_tum_dataset.h:149-199); clamp at the ends.
+        # Deliberate deviation: real mocap exports can interleave lines
+        # out of order; the reference's linear bracket scan then clamps
+        # whole prefixes to the raw first line (InterpolatePose's failure
+        # return is unreachable — between the sequence min and max a
+        # bracketing adjacent pair always exists). Sorting by timestamp
+        # first gives the interpolation those files intend. Timestamps
+        # stay f64 throughout: real TUM stamps are ~1.3e9 s epochs, where
+        # f32 resolution (~128 s) would collapse the 33 ms frame spacing.
         import jax.numpy as jnp
 
         from badslam_tpu.geometry import se3_np as s3np
 
-        ts_arr = np.array(ts)
+        order = np.argsort(np.array(ts, np.float64), kind="stable")
+        ts_arr = np.array(ts, np.float64)[order]
         np_poses = [
-            s3np.SE3(np.asarray(p.q, np.float64), np.asarray(p.t, np.float64))
-            for p in poses
+            s3np.SE3(np.asarray(poses[k].q, np.float64),
+                     np.asarray(poses[k].t, np.float64))
+            for k in order
         ]
         for i, t in enumerate(timestamps):
             j = int(np.searchsorted(ts_arr, t))
@@ -249,9 +315,23 @@ def load_tum_dataset(
                     s3np.slerp(a.q, b.q, f),
                     (1.0 - f) * a.t + f * b.t,
                 )
-            video.poses[i] = se3.SE3(
+            frame_poses[i] = se3.SE3(
                 jnp.array(pose.q, jnp.float32), jnp.array(pose.t, jnp.float32)
             )
+
+    video = RGBDVideo(
+        base_path=path,
+        color_paths=color_paths,
+        depth_paths=depth_paths,
+        timestamps=timestamps,
+        camera=camera,
+        poses=frame_poses,
+    )
+    if video.depth_paths and video.depth_paths[0] == first_depth_path:
+        video._depth_cache[0] = first
+
+    if src is not None:
+        video.undistortion_map = src.undistortion_map(camera)
     return video
 
 

@@ -181,3 +181,89 @@ def test_loader_trajectory_slerp(tmp_path):
     for i in range(4):
         x = float(np.asarray(video.poses[i].t)[0])
         np.testing.assert_allclose(x, i / 30.0, atol=1e-6)
+
+
+def test_associate_frames_window_and_uniqueness():
+    """Nearest-timestamp association within associate.py's 0.02 s window:
+    drops outside the window, one depth frame pairs at most once, full
+    epoch precision (real TUM stamps are ~1.3e9 s; f32 would collapse
+    the 33 ms frame spacing)."""
+    from badslam_tpu.io.dataset import associate_frames
+
+    t0 = 1305031102.175304  # fr1/desk-scale epoch
+    rgb = [(t0 + i / 30.0, f"rgb/{i}.png") for i in range(5)]
+    # depth stream: +8 ms offset, frame 2 dropped by the sensor, an
+    # extra far-away frame that must never match.
+    depth = [(t0 + i / 30.0 + 0.008, f"depth/{i}.png")
+             for i in (0, 1, 3, 4)] + [(t0 + 9.0, "depth/late.png")]
+    pairs = associate_frames(rgb, depth)
+    got = {r.split("/")[1]: d.split("/")[1] for _, r, _, d in pairs}
+    assert got == {"0.png": "0.png", "1.png": "1.png",
+                   "3.png": "3.png", "4.png": "4.png"}
+    # Window enforcement: with the gap larger than max_difference the
+    # unmatched rgb frame 2 pairs with nothing (its neighbors are taken).
+    assert len(pairs) == 4
+
+
+def test_loader_associates_raw_tum_download(tmp_path):
+    """With no associated.txt (a raw TUM download), the loader pairs
+    rgb.txt/depth.txt itself; the reference errors out here and requires
+    the benchmark's associate.py (rgbd_video_io_tum_dataset.h:122-127,
+    165-169)."""
+    import os
+
+    from badslam_tpu import synthetic
+    from badslam_tpu.io.dataset import load_tum_dataset
+
+    rng = np.random.default_rng(5)
+    cam = PinholeCamera(fx=90.0, fy=90.0, cx=64.0, cy=48.0,
+                        width=128, height=96)
+    scene = synthetic.random_plane_scene(rng, 3)
+    gt = synthetic.smooth_trajectory(4)
+    ds = str(tmp_path / "ds")
+    synthetic.write_tum_dataset(ds, cam, scene, gt, write_gt=False)
+    os.remove(os.path.join(ds, "associated.txt"))
+    t0 = 1305031102.2
+    with open(os.path.join(ds, "rgb.txt"), "w") as f:
+        f.write("# color images\n")
+        for i in range(4):
+            f.write(f"{t0 + i / 30.0:.6f} rgb/{i:05d}.png\n")
+    with open(os.path.join(ds, "depth.txt"), "w") as f:
+        for i in (0, 1, 3):  # depth frame 2 dropped by the sensor
+            f.write(f"{t0 + i / 30.0 + 0.005:.6f} depth/{i:05d}.png\n")
+    video = load_tum_dataset(ds)
+    assert len(video) == 3
+    assert video.depth_paths[2].endswith("00003.png")
+    assert video.color_paths[2].endswith("00003.png")
+    # Frames load fine through the normal lazy path.
+    assert video.depth_u16(1).shape == (96, 128)
+
+
+def test_loader_unsorted_trajectory(tmp_path):
+    """Out-of-order trajectory lines (real mocap exports interleave) are
+    bracketed by the reference's linear scan, not misread by a sorted
+    binary search (rgbd_video_io_tum_dataset.h:56-66)."""
+    import os
+
+    from badslam_tpu import synthetic
+    from badslam_tpu.io.dataset import load_tum_dataset
+
+    rng = np.random.default_rng(6)
+    cam = PinholeCamera(fx=90.0, fy=90.0, cx=64.0, cy=48.0,
+                        width=128, height=96)
+    scene = synthetic.random_plane_scene(rng, 3)
+    gt = synthetic.smooth_trajectory(4)
+    ds = str(tmp_path / "ds")
+    synthetic.write_tum_dataset(ds, cam, scene, gt, write_gt=False)
+    # Trajectory x(t) = t at half-frame offsets, lines shuffled.
+    stamps = [(i + 0.5) / 30.0 for i in range(-1, 5)]
+    order = [3, 0, 4, 1, 5, 2]
+    with open(os.path.join(ds, "traj.txt"), "w") as f:
+        for k in order:
+            t = stamps[k]
+            f.write(f"{t:.6f} {t} 0 0 0 0 0 1\n")
+    video = load_tum_dataset(ds, trajectory_filename="traj.txt")
+    assert len(video) == 4
+    for i in range(4):
+        x = float(np.asarray(video.poses[i].t)[0])
+        np.testing.assert_allclose(x, i / 30.0, atol=1e-6)
