@@ -519,7 +519,12 @@ def ate_moments_device(traj_t, gt_t):
         mu_e = est.mean(0)
         mu_g = gt.mean(0)
         E, G = est - mu_e, gt - mu_g
-        return E.T @ G, (E * E).sum(), (G * G).sum()
+        # Full-f32 matmul, NOT the TPU default (bf16 passes): the host
+        # half subtracts 2*sum(sv(C)) from se+sg — a ~1e3x cancellation
+        # at bench trajectory scales, where bf16 moment error inflated
+        # the reported ATE ~8x (round-4 bench: 8.2e-4 vs 1.0e-4 true).
+        C = jnp.matmul(E.T, G, precision=jax.lax.Precision.HIGHEST)
+        return C, (E * E).sum(), (G * G).sum()
 
     return _m(traj_t, jnp.asarray(np.asarray(gt_t, np.float32)))
 

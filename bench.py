@@ -219,6 +219,11 @@ def bench_slam_scaling() -> dict:
         loop_detection_images_width=w,
         loop_detection_images_height=h,
         fps_restriction=0,  # pacing off -> steady-frame chunking active
+        # Bisection knob ONLY (default on): BENCH_LONGRUN_DETECTION=0
+        # isolates whether the post-run TPU worker crash and the final
+        # segment's FPS collapse come from the detection/closure path.
+        enable_loop_detection=os.environ.get(
+            "BENCH_LONGRUN_DETECTION", "1") != "0",
     )  # everything else: DEFAULTS (loop detection on, parallel BA on)
 
     rng = np.random.default_rng(7)
@@ -390,11 +395,20 @@ def _longrun_child() -> None:
     still surrenders the measurements."""
     import sys
 
+    import jax
+    import jax.numpy as jnp
+
     from badslam_tpu.utils.cache import enable_compile_cache
     from badslam_tpu.utils.timing import Timing
 
     _apply_platform_override()
     enable_compile_cache()
+    # Sentinel uploaded BEFORE the run and untouched by it: reading it
+    # after the run discriminates "the long run left the worker dead /
+    # poisoned" (sentinel read also fails) from "the post-run read's own
+    # kernels fault" (sentinel reads fine, counter/ATE reads crash).
+    sentinel = jnp.asarray(np.float32(42.0))
+    jax.block_until_ready(sentinel)
     try:
         long_run, slam2, gt2 = bench_slam_scaling()
     except Exception as e:
@@ -408,6 +422,12 @@ def _longrun_child() -> None:
     # Reads happen IMMEDIATELY after the timed sections while the session
     # is still healthy: device-computed ATE (one scalar) first, then the
     # device closure counter — each with a bounded UNAVAILABLE retry.
+    try:
+        long_run["sentinel_read"] = _read_scalar(sentinel)
+    except Exception as e:
+        long_run["sentinel_error"] = repr(e)[:120]
+    if os.environ.get("BENCH_LONGRUN_DETECTION", "1") == "0":
+        long_run["detection_disabled"] = True
     try:
         # Closure counter FIRST: it reads an existing int buffer (no new
         # kernel), so a crash in the ATE kernels can no longer take the
