@@ -151,6 +151,37 @@ def update_activation_and_normals(
     return smap._replace(normal=new_normal)
 
 
+def _normals_chunk(carry, xs, smap, cam, baseline_fx):
+    """One chunk of the normal-averaging scan: carry = (nsum, cnt),
+    xs = (d, nx, ny, q, t, m) with [C, ...] leading axes. Shared by the
+    local scan below and the plane-streamed SPMD scan
+    (parallel/sharded.py), which feeds chunks broadcast over ICI."""
+    nsum, cnt = carry
+    (d, nx_, ny_, q, t, m) = xs
+    _, a = _assoc_batch(cam, smap.pos, smap.normal,
+                        smap.valid & smap.active,
+                        q, t, d, nx_, ny_, baseline_fx)
+    hit = a.valid & m[:, None]
+    mnx = jax.vmap(gather_nearest)(nx_, a.px, a.py)
+    mny = jax.vmap(gather_nearest)(ny_, a.px, a.py)
+    mnz = normal_z(mnx, mny)
+    R = se3.quat_to_matrix(q)
+    gn = _rotate_batch(R, mnx, mny, mnz)
+    nsum = nsum + jnp.sum(jnp.where(hit[..., None], gn, 0.0), axis=0)
+    cnt = cnt + jnp.sum(hit.astype(jnp.int32), axis=0)
+    return (nsum, cnt)
+
+
+def _normals_finish(smap, nsum, cnt) -> SurfelMap:
+    norm = jnp.linalg.norm(nsum, axis=-1, keepdims=True)
+    new_normal = jnp.where(
+        (cnt >= 1)[:, None] & (norm > 1e-12),
+        nsum / jnp.maximum(norm, 1e-12),
+        smap.normal,
+    )
+    return smap._replace(normal=new_normal)
+
+
 @functools.partial(jax.jit, static_argnames=("baseline_fx",))
 def update_surfel_normals(
     smap: SurfelMap, cam: PinholeCamera, kstack: KeyframeStack,
@@ -167,32 +198,13 @@ def update_surfel_normals(
         kstack.mask)
 
     def body(carry, xs):
-        nsum, cnt = carry
-        (d, nx_, ny_, q, t, m) = xs
-        _, a = _assoc_batch(cam, smap.pos, smap.normal,
-                            smap.valid & smap.active,
-                            q, t, d, nx_, ny_, baseline_fx)
-        hit = a.valid & m[:, None]
-        mnx = jax.vmap(gather_nearest)(nx_, a.px, a.py)
-        mny = jax.vmap(gather_nearest)(ny_, a.px, a.py)
-        mnz = normal_z(mnx, mny)
-        R = se3.quat_to_matrix(q)
-        gn = _rotate_batch(R, mnx, mny, mnz)
-        nsum = nsum + jnp.sum(jnp.where(hit[..., None], gn, 0.0), axis=0)
-        cnt = cnt + jnp.sum(hit.astype(jnp.int32), axis=0)
-        return (nsum, cnt), None
+        return _normals_chunk(carry, xs, smap, cam, baseline_fx), None
 
     (nsum, cnt), _ = jax.lax.scan(
         body,
         (jnp.zeros((n, 3), smap.normal.dtype), jnp.zeros((n,), jnp.int32)),
         (d_c, nx_c, ny_c, q_c, t_c, m_c))
-    norm = jnp.linalg.norm(nsum, axis=-1, keepdims=True)
-    new_normal = jnp.where(
-        (cnt >= 1)[:, None] & (norm > 1e-12),
-        nsum / jnp.maximum(norm, 1e-12),
-        smap.normal,
-    )
-    return smap._replace(normal=new_normal)
+    return _normals_finish(smap, nsum, cnt)
 
 
 # ---------------------------------------------------------------------------
@@ -221,102 +233,126 @@ def _position_step(
     if not use_descriptor:
         # --- 1-D position along the normal from depth residuals only ---
         def body(carry, xs):
-            Hacc, bacc = carry
-            (d, nx_, ny_, inten, q, t, m) = xs
-            _, a = _assoc_batch(cam, smap.pos, smap.normal,
-                                smap.valid & smap.active,
-                                q, t, d, nx_, ny_, baseline_fx)
-            hit = a.valid & m[:, None]
-            inv_stddev = 1.0 / jnp.maximum(a.stddev, 1e-30)
-            un_x = cam.fx_inv * a.px.astype(dtype) + cam.cx_inv
-            un_y = cam.fy_inv * a.py.astype(dtype) + cam.cy_inv
-            r = inv_stddev * (
-                a.nlx * (a.pixel_depth * un_x - a.lx)
-                + a.nly * (a.pixel_depth * un_y - a.ly)
-                + a.nlz * (a.pixel_depth - a.lz)
-            )
-            J = -inv_stddev
-            w = jnp.where(hit, robust.depth_residual_weight(r), 0.0)
-            Hacc = Hacc + jnp.sum(w * J * J, axis=0)
-            bacc = bacc + jnp.sum(w * r * J, axis=0)
-            return (Hacc, bacc), None
+            return _pos1d_chunk(carry, xs, smap, cam, baseline_fx), None
 
         (H, b), _ = jax.lax.scan(
             body,
             (jnp.zeros((n,), dtype), jnp.zeros((n,), dtype)),
             (d_c, nx_c, ny_c, i_c, q_c, t_c, m_c))
-        upd = smap.valid & smap.active & (H > 1e-6)
-        step = jnp.where(upd, -b / jnp.maximum(H, 1e-6), 0.0)
-        new_pos = smap.pos + step[:, None] * smap.normal
-        return smap._replace(pos=new_pos)
+        return _pos1d_finish(smap, H, b)
 
     # --- position + 2 descriptor components jointly (3x3 per surfel) ---
     def body(carry, xs):
-        (H00, H01, H02, H11, H12, H22, b0, b1, b2) = carry
-        (d, nx_, ny_, inten, q, t, m) = xs
-        ftg, a = _assoc_batch(cam, smap.pos, smap.normal,
-                              smap.valid & smap.active,
-                              q, t, d, nx_, ny_, baseline_fx)
-        hit = a.valid & m[:, None]
-
-        if use_depth:
-            inv_stddev = 1.0 / jnp.maximum(a.stddev, 1e-30)
-            un_x = cam.fx_inv * a.px.astype(dtype) + cam.cx_inv
-            un_y = cam.fy_inv * a.py.astype(dtype) + cam.cy_inv
-            r = inv_stddev * (
-                a.nlx * (a.pixel_depth * un_x - a.lx)
-                + a.nly * (a.pixel_depth * un_y - a.ly)
-                + a.nlz * (a.pixel_depth - a.lz)
-            )
-            Jd = -inv_stddev
-            w = jnp.where(hit, robust.depth_residual_weight(r), 0.0)
-            H00 = H00 + jnp.sum(w * Jd * Jd, axis=0)
-            b0 = b0 + jnp.sum(w * r * Jd, axis=0)
-
-        # Descriptor residuals at the tangent points.
-        t1x, t1y, t2x, t2y, t_ok = jax.vmap(
-            lambda fq, ft: tangent_projections(
-                smap.pos, smap.normal, smap.radius2, fq, ft, cam)
-        )(ftg.q, ftg.t)
-        dhit = hit & t_ok
-        ic, c_dx, c_dy = jax.vmap(bilinear_and_gradient)(
-            inten, a.pxy_x, a.pxy_y)
-        i1, t1_dx, t1_dy = jax.vmap(bilinear_and_gradient)(inten, t1x, t1y)
-        i2, t2_dx, t2_dy = jax.vmap(bilinear_and_gradient)(inten, t2x, t2y)
-        r1 = jnp.where(dhit, 180.0 * (i1 - ic) - smap.desc[:, 0], 0.0)
-        r2 = jnp.where(dhit, 180.0 * (i2 - ic) - smap.desc[:, 1], 0.0)
-        w1 = jnp.where(dhit, robust.descriptor_residual_weight(r1), 0.0)
-        w2 = jnp.where(dhit, robust.descriptor_residual_weight(r2), 0.0)
-
-        # d residual / d (position along normal), fx/fy folded into terms
-        # (kernel_opt_geometry.cu:188-196).
-        gx1 = 180.0 * (t1_dx - c_dx)
-        gy1 = 180.0 * (t1_dy - c_dy)
-        gx2 = 180.0 * (t2_dx - c_dx)
-        gy2 = 180.0 * (t2_dy - c_dy)
-        safe_z = jnp.where(dhit, a.lz, 1.0)
-        term1 = -cam.fx * (a.nlx * a.lz - a.nlz * a.lx)
-        term2 = -cam.fy * (a.nly * a.lz - a.nlz * a.ly)
-        term3 = 1.0 / (safe_z * safe_z)
-        jp1 = -(gx1 * term1 + gy1 * term2) * term3
-        jp2 = -(gx2 * term1 + gy2 * term2) * term3
-        jd = -1.0  # d residual / d descriptor
-
-        H00 = H00 + jnp.sum(w1 * jp1 * jp1 + w2 * jp2 * jp2, axis=0)
-        H01 = H01 + jnp.sum(w1 * jp1 * jd, axis=0)
-        H02 = H02 + jnp.sum(w2 * jp2 * jd, axis=0)
-        H11 = H11 + jnp.sum(w1 * jd * jd, axis=0)
-        H22 = H22 + jnp.sum(w2 * jd * jd, axis=0)
-        b0 = b0 + jnp.sum(w1 * r1 * jp1 + w2 * r2 * jp2, axis=0)
-        b1 = b1 + jnp.sum(w1 * r1 * jd, axis=0)
-        b2 = b2 + jnp.sum(w2 * r2 * jd, axis=0)
-        return (H00, H01, H02, H11, H12, H22, b0, b1, b2), None
+        return _pos3d_chunk(carry, xs, smap, cam, baseline_fx,
+                            use_depth), None
 
     z = jnp.zeros((n,), dtype)
-    (H00, H01, H02, H11, H12, H22, b0, b1, b2), _ = jax.lax.scan(
+    carry, _ = jax.lax.scan(
         body, (z, z, z, z, z, z, z, z, z),
         (d_c, nx_c, ny_c, i_c, q_c, t_c, m_c))
+    return _pos3d_finish(smap, carry)
 
+
+def _pos1d_chunk(carry, xs, smap, cam, baseline_fx):
+    """One chunk of the depth-only position scan: carry = (H, b),
+    xs = (d, nx, ny, inten, q, t, m). Shared with the plane-streamed SPMD
+    scan (parallel/sharded.py)."""
+    dtype = smap.pos.dtype
+    Hacc, bacc = carry
+    (d, nx_, ny_, inten, q, t, m) = xs
+    _, a = _assoc_batch(cam, smap.pos, smap.normal,
+                        smap.valid & smap.active,
+                        q, t, d, nx_, ny_, baseline_fx)
+    hit = a.valid & m[:, None]
+    inv_stddev = 1.0 / jnp.maximum(a.stddev, 1e-30)
+    un_x = cam.fx_inv * a.px.astype(dtype) + cam.cx_inv
+    un_y = cam.fy_inv * a.py.astype(dtype) + cam.cy_inv
+    r = inv_stddev * (
+        a.nlx * (a.pixel_depth * un_x - a.lx)
+        + a.nly * (a.pixel_depth * un_y - a.ly)
+        + a.nlz * (a.pixel_depth - a.lz)
+    )
+    J = -inv_stddev
+    w = jnp.where(hit, robust.depth_residual_weight(r), 0.0)
+    Hacc = Hacc + jnp.sum(w * J * J, axis=0)
+    bacc = bacc + jnp.sum(w * r * J, axis=0)
+    return (Hacc, bacc)
+
+
+def _pos1d_finish(smap, H, b) -> SurfelMap:
+    upd = smap.valid & smap.active & (H > 1e-6)
+    step = jnp.where(upd, -b / jnp.maximum(H, 1e-6), 0.0)
+    new_pos = smap.pos + step[:, None] * smap.normal
+    return smap._replace(pos=new_pos)
+
+
+def _pos3d_chunk(carry, xs, smap, cam, baseline_fx, use_depth):
+    """One chunk of the joint position+descriptor scan: carry = the 9
+    accumulator planes, xs = (d, nx, ny, inten, q, t, m)."""
+    dtype = smap.pos.dtype
+    (H00, H01, H02, H11, H12, H22, b0, b1, b2) = carry
+    (d, nx_, ny_, inten, q, t, m) = xs
+    ftg, a = _assoc_batch(cam, smap.pos, smap.normal,
+                          smap.valid & smap.active,
+                          q, t, d, nx_, ny_, baseline_fx)
+    hit = a.valid & m[:, None]
+
+    if use_depth:
+        inv_stddev = 1.0 / jnp.maximum(a.stddev, 1e-30)
+        un_x = cam.fx_inv * a.px.astype(dtype) + cam.cx_inv
+        un_y = cam.fy_inv * a.py.astype(dtype) + cam.cy_inv
+        r = inv_stddev * (
+            a.nlx * (a.pixel_depth * un_x - a.lx)
+            + a.nly * (a.pixel_depth * un_y - a.ly)
+            + a.nlz * (a.pixel_depth - a.lz)
+        )
+        Jd = -inv_stddev
+        w = jnp.where(hit, robust.depth_residual_weight(r), 0.0)
+        H00 = H00 + jnp.sum(w * Jd * Jd, axis=0)
+        b0 = b0 + jnp.sum(w * r * Jd, axis=0)
+
+    # Descriptor residuals at the tangent points.
+    t1x, t1y, t2x, t2y, t_ok = jax.vmap(
+        lambda fq, ft: tangent_projections(
+            smap.pos, smap.normal, smap.radius2, fq, ft, cam)
+    )(ftg.q, ftg.t)
+    dhit = hit & t_ok
+    ic, c_dx, c_dy = jax.vmap(bilinear_and_gradient)(
+        inten, a.pxy_x, a.pxy_y)
+    i1, t1_dx, t1_dy = jax.vmap(bilinear_and_gradient)(inten, t1x, t1y)
+    i2, t2_dx, t2_dy = jax.vmap(bilinear_and_gradient)(inten, t2x, t2y)
+    r1 = jnp.where(dhit, 180.0 * (i1 - ic) - smap.desc[:, 0], 0.0)
+    r2 = jnp.where(dhit, 180.0 * (i2 - ic) - smap.desc[:, 1], 0.0)
+    w1 = jnp.where(dhit, robust.descriptor_residual_weight(r1), 0.0)
+    w2 = jnp.where(dhit, robust.descriptor_residual_weight(r2), 0.0)
+
+    # d residual / d (position along normal), fx/fy folded into terms
+    # (kernel_opt_geometry.cu:188-196).
+    gx1 = 180.0 * (t1_dx - c_dx)
+    gy1 = 180.0 * (t1_dy - c_dy)
+    gx2 = 180.0 * (t2_dx - c_dx)
+    gy2 = 180.0 * (t2_dy - c_dy)
+    safe_z = jnp.where(dhit, a.lz, 1.0)
+    term1 = -cam.fx * (a.nlx * a.lz - a.nlz * a.lx)
+    term2 = -cam.fy * (a.nly * a.lz - a.nlz * a.ly)
+    term3 = 1.0 / (safe_z * safe_z)
+    jp1 = -(gx1 * term1 + gy1 * term2) * term3
+    jp2 = -(gx2 * term1 + gy2 * term2) * term3
+    jd = -1.0  # d residual / d descriptor
+
+    H00 = H00 + jnp.sum(w1 * jp1 * jp1 + w2 * jp2 * jp2, axis=0)
+    H01 = H01 + jnp.sum(w1 * jp1 * jd, axis=0)
+    H02 = H02 + jnp.sum(w2 * jp2 * jd, axis=0)
+    H11 = H11 + jnp.sum(w1 * jd * jd, axis=0)
+    H22 = H22 + jnp.sum(w2 * jd * jd, axis=0)
+    b0 = b0 + jnp.sum(w1 * r1 * jp1 + w2 * r2 * jp2, axis=0)
+    b1 = b1 + jnp.sum(w1 * r1 * jd, axis=0)
+    b2 = b2 + jnp.sum(w2 * r2 * jd, axis=0)
+    return (H00, H01, H02, H11, H12, H22, b0, b1, b2)
+
+
+def _pos3d_finish(smap, carry) -> SurfelMap:
+    (H00, H01, H02, H11, H12, H22, b0, b1, b2) = carry
     # Vectorized 3x3 Cholesky solve (kernel_opt_geometry.cu:273-340).
     eps = 1e-6
     H00 = H00 + eps

@@ -818,13 +818,19 @@ class BadSlam:
         rgbs = np.stack([self.video.color_u8(start + j) for j in range(n)])
         _t0 = time.perf_counter()
         with Timing.time("frame chunk (fused)"):
+            # Upload vs dispatch split so inflation under load attributes
+            # correctly (H2D stalling behind a deep relay queue looks
+            # different from GIL/dispatch starvation by worker threads).
+            with Timing.time("frame chunk upload"):
+                d_dev = jnp.asarray(depths)
+                r_dev = jnp.asarray(rgbs)
             params = self.direct_ba.depth_params
             base = self.base_kf_global_T_frame
             fn = _chunk_frames_fn(self._steady_key, n)
             (self.traj_q, self.traj_t, self._hist_q, self._hist_t,
              gq, gt) = fn(
                 self.cam, self.cams_pyramid, self.base_kf_pyramid,
-                jnp.asarray(depths), jnp.asarray(rgbs),
+                d_dev, r_dev,
                 self._undistort_map, params.a, params.cfactor,
                 jnp.asarray(base.q), jnp.asarray(base.t),
                 self.traj_q, self.traj_t, self._hist_q, self._hist_t,

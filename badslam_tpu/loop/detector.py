@@ -75,7 +75,13 @@ class LoopDetector:
     recent_window: int = 10           # exclude this many recent keyframes
     min_score: float = 0.3            # DLoopDetector alpha (vs eta norm)
     min_matches: int = 25
-    temporal_consistency: int = 1     # consecutive supporting detections
+    # Consecutive supporting detections before the geometric check runs
+    # (DLoopDetector's k; the reference runs the default k=3,
+    # TemplatedLoopDetector.h:170-172). Also the main throttle on the
+    # expensive per-candidate work: with k=1 the round-3 long-run billed a
+    # full match+RANSAC (and often a 3-tracker closure attempt) for every
+    # self-similar-texture false positive.
+    temporal_consistency: int = 3
     max_features: int = 500
     vocabulary_path: str = ""         # pre-trained vocabulary (.npz); empty
                                       # -> train on the fly from the sequence

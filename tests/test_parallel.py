@@ -92,6 +92,47 @@ def test_geometry_opt_sharded_matches_single(scene):
     )
 
 
+def test_geometry_plane_streamed_matches_single(scene):
+    """Plane-streamed variant (keyframe planes sharded over the mesh and
+    broadcast chunk-by-chunk over ICI; nothing replicated) must match the
+    single-device geometry stage and leave per-device plane shards in
+    place (the round-3 multi-chip memory critique: replicating planes
+    costs ~9 MB/keyframe/chip)."""
+    from badslam_tpu.parallel import optimize_geometry_plane_streamed
+
+    cam, ba, gt = scene
+    mesh = make_mesh(8)
+    for i in range(8):
+        ba.keyframes.set_pose(i, gt[i])
+    ks = ba.keyframes.stack(list(range(8)))
+    noise = 0.004 * jnp.array(
+        np.random.default_rng(7).uniform(-1, 1, (ba.surfels.capacity,)),
+        jnp.float32,
+    )
+    m = ba.surfels._replace(
+        pos=ba.surfels.pos + noise[:, None] * ba.surfels.normal
+    )
+    ref = optimize_geometry_iteration(m, cam, ks)
+    shd = optimize_geometry_plane_streamed(mesh, m, cam, ks)
+    v = np.asarray(ref.valid)
+    np.testing.assert_allclose(
+        np.asarray(shd.pos)[v], np.asarray(ref.pos)[v], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(shd.desc)[v], np.asarray(ref.desc)[v], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(shd.normal)[v], np.asarray(ref.normal)[v], atol=1e-5
+    )
+    # Depth-only (1-D position) path too.
+    ref1 = optimize_geometry_iteration(m, cam, ks, use_descriptor=False)
+    shd1 = optimize_geometry_plane_streamed(
+        mesh, m, cam, ks, use_descriptor=False)
+    np.testing.assert_allclose(
+        np.asarray(shd1.pos)[v], np.asarray(ref1.pos)[v], atol=1e-5
+    )
+
+
 def test_estimate_pose_sharded_psum(scene):
     cam, ba, gt = scene
     mesh = make_mesh(8)
