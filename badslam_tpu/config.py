@@ -85,6 +85,14 @@ class BadSlamConfig:
     loop_detection_vocabulary_path: str = ""
     loop_detection_images_width: int = 640  # detection images resized to this width
     loop_detection_images_height: int = 480  # detection images resized to this height
+    # Min keyframes between loop-closure ATTEMPTS (the 3-way tracker
+    # verification + device closure program, ~70-110 ms host each). At a
+    # sustained revisit every keyframe passes the detector's gates and the
+    # reference attempts a closure each time (TemplatedLoopDetector's
+    # temporal window stays consistent); on a 1-core host that serialized
+    # against frame dispatch and collapsed long-run FPS 5x (BENCH_r03/r04
+    # final segment). 0 = attempt every detection, reference behavior.
+    loop_closure_cooldown_keyframes: int = 2
 
     # --- Vendor live-input parameters (bad_slam_config.h:287-366) ---
     # Consumed by the SDK-gated input classes (io/live_inputs.py); inert

@@ -365,6 +365,9 @@ class BadSlam:
         self.loop_detector = None
         self._loop_thread = None
         self._loop_pending_seq = -1
+        # Host keyframe-count clock of the last closure ATTEMPT (rate
+        # limit; config.loop_closure_cooldown_keyframes). Value-free.
+        self._last_closure_attempt_kf = -(1 << 30)
         if config.enable_loop_detection:
             from badslam_tpu.loop import LoopDetector
 
@@ -939,12 +942,25 @@ class BadSlam:
             candidate = self.loop_detector.detect_candidate(kf_id)
         if candidate is None:
             return
+        if not self._closure_attempt_allowed():
+            return
         init = self.loop_detector.initial_alignment(kf_id, candidate)
         if init is None:
             return
         cur_T_matched_init, _ = init
         with Timing.time("loop closure attempt"):
             self._attempt_loop_closure(kf_id, candidate, cur_T_matched_init)
+
+    def _closure_attempt_allowed(self) -> bool:
+        """Host-side rate limit on closure attempts (value-free: counts
+        keyframes, reads nothing). See
+        config.loop_closure_cooldown_keyframes."""
+        now = self.direct_ba.keyframes.count
+        if (now - self._last_closure_attempt_kf
+                < self.config.loop_closure_cooldown_keyframes):
+            return False
+        self._last_closure_attempt_kf = now
+        return True
 
     def _drain_loop_detections(self) -> None:
         """Wait for enqueued detections and apply any verified closures."""
@@ -953,7 +969,8 @@ class BadSlam:
         with Timing.time("loop detection drain (wait)"):
             self._loop_thread.wait_through(self._loop_pending_seq)
         for r in self._loop_thread.drain_results():
-            if r.candidate is not None and r.cur_T_matched is not None:
+            if (r.candidate is not None and r.cur_T_matched is not None
+                    and self._closure_attempt_allowed()):
                 with Timing.time("loop closure attempt"):
                     self._attempt_loop_closure(
                         r.kf_id, r.candidate, r.cur_T_matched)

@@ -110,22 +110,45 @@ def _ate_of(slam, gt) -> float:
     return syn.ate_rmse_from_moments(moments[0], moments[1], moments[2], n)
 
 
+_READ_HUNG = False  # a device read wedged in C land (thread never joined)
+
+
 def _read_scalar(x, retries: int = 1, wait_s: float = 5.0,
-                 as_array: bool = False):
-    """Read one device value with a bounded retry: the first read after a
-    long run has crashed the TPU worker with a transient UNAVAILABLE
-    (BENCH_r03); a retry after a short wait recovers when the worker
-    restarted, and the caller gets the exception otherwise."""
+                 as_array: bool = False, timeout_s: float = 60.0):
+    """Read one device value with a bounded retry AND a hang timeout: the
+    first read after a long run has crashed the TPU worker with a
+    transient UNAVAILABLE (BENCH_r03) or wedged indefinitely inside the
+    PJRT client (BENCH_r04 ladder — SIGALRM can't interrupt a C-land
+    block, so the read runs on a daemon thread and the caller times out
+    the join). After a timeout the caller must finish via os._exit: jax's
+    atexit backend teardown joins the same wedged state."""
+    import threading
+
     import jax
 
+    global _READ_HUNG
+
     for attempt in range(retries + 1):
-        try:
-            jax.block_until_ready(x)
-            return np.asarray(x) if as_array else float(x)
-        except Exception:
-            if attempt == retries:
-                raise
-            time.sleep(wait_s)
+        result = {}
+
+        def _do():
+            try:
+                jax.block_until_ready(x)
+                result["v"] = np.asarray(x) if as_array else float(x)
+            except Exception as e:  # pragma: no cover - backend-dependent
+                result["e"] = e
+
+        th = threading.Thread(target=_do, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        if th.is_alive():
+            _READ_HUNG = True
+            raise TimeoutError(f"device read hung > {timeout_s:.0f}s")
+        if "v" in result:
+            return result["v"]
+        if attempt == retries:
+            raise result["e"]
+        time.sleep(wait_s)
 
 
 def bench_slam(cam, scene):
@@ -198,7 +221,8 @@ def bench_slam_scaling() -> dict:
     from badslam_tpu.config import BadSlamConfig
     from badslam_tpu.frontend import BadSlam
 
-    w, h = 320, 240
+    w = int(os.environ.get("BENCH_LONGRUN_WIDTH", 320))
+    h = int(os.environ.get("BENCH_LONGRUN_HEIGHT", 240))
     # 720 frames -> 74 keyframes -> K=128 fused-BA programs. (A previous
     # round capped this at 500 frames blaming a K=128 "compile cliff" —
     # that measurement ran in a session already degraded ~1000x by an
@@ -418,14 +442,59 @@ def _longrun_child() -> None:
     # resets the registry after warmup) — stderr so the driver's
     # one-JSON-line contract on stdout is untouched.
     print(Timing.report(), file=sys.stderr, flush=True)
+    # HBM allocator stats (host-side PJRT query, not a buffer read) ride
+    # along with the crash bisection: a near-limit bytes_in_use or peak
+    # here would explain the worker dying by the end of long runs.
+    from badslam_tpu.utils.memory import device_memory_stats
+    stats = device_memory_stats()
+    if stats:
+        long_run["hbm"] = {k: stats.get(k) for k in
+                           ("bytes_in_use", "peak_bytes_in_use",
+                            "bytes_limit", "num_allocs") if k in stats}
     print(json.dumps(long_run), flush=True)  # timed results, pre-read
+    # Liveness probe BEFORE any D2H: submit one trivial program and block
+    # (on a daemon thread — the block itself can wedge). Long timing here
+    # = the 'block_until_ready is not a full sync' theory (a minutes-deep
+    # queue finally draining); a crash/hang here = the worker died mid-run
+    # and D2H was never the trigger.
+    import threading
+
+    global _READ_HUNG
+    try:
+        t0 = time.perf_counter()
+        y = jax.jit(lambda v: v + 1.0)(sentinel)
+        box = {}
+
+        def _block():
+            try:
+                jax.block_until_ready(y)
+                box["ok"] = True
+            except Exception as e:  # pragma: no cover
+                box["e"] = e
+
+        th = threading.Thread(target=_block, daemon=True)
+        th.start()
+        th.join(60.0)
+        if th.is_alive():
+            _READ_HUNG = True
+            long_run["liveness_error"] = "program block hung > 60s"
+        elif "e" in box:
+            long_run["liveness_error"] = repr(box["e"])[:120]
+        else:
+            long_run["liveness_program_s"] = round(
+                time.perf_counter() - t0, 3)
+    except Exception as e:
+        long_run["liveness_error"] = repr(e)[:120]
     # Reads happen IMMEDIATELY after the timed sections while the session
     # is still healthy: device-computed ATE (one scalar) first, then the
     # device closure counter — each with a bounded UNAVAILABLE retry.
     try:
-        long_run["sentinel_read"] = _read_scalar(sentinel)
+        t0 = time.perf_counter()
+        long_run["sentinel_read"] = _read_scalar(sentinel, retries=0)
+        long_run["sentinel_read_s"] = round(time.perf_counter() - t0, 3)
     except Exception as e:
         long_run["sentinel_error"] = repr(e)[:120]
+        long_run["sentinel_error_s"] = round(time.perf_counter() - t0, 3)
     if os.environ.get("BENCH_LONGRUN_DETECTION", "1") == "0":
         long_run["detection_disabled"] = True
     try:
@@ -441,6 +510,15 @@ def _longrun_child() -> None:
     except Exception as e:
         long_run.setdefault("read_error", repr(e)[:120])
     print(json.dumps(long_run), flush=True)
+    if _READ_HUNG:
+        # A read wedged inside the PJRT client; jax's atexit teardown
+        # would join the same wedged state and hang the child forever.
+        import os as _os
+        import sys as _sys
+
+        _sys.stdout.flush()
+        _sys.stderr.flush()
+        _os._exit(0)
 
 
 def _run_longrun_subprocess() -> dict:
@@ -558,6 +636,12 @@ def main() -> None:
         "long_run": long_run,
         **({"errors": errors} if errors else {}),
     }))
+    if _READ_HUNG:  # see _longrun_child: atexit would join the wedge
+        import sys as _sys
+
+        _sys.stdout.flush()
+        _sys.stderr.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":
