@@ -22,6 +22,7 @@ check, which is host-only, is kept).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Optional
 
@@ -519,7 +520,11 @@ class DirectBA:
         ks = self.keyframes
         cap = ks.capacity
         live = ks.live_count
-        if live == 0:
+        if live == 0 or os.environ.get("BADSLAM_DISABLE_KF_BUCKET"):
+            # The env knob exists for D2H-wedge bisection on the relay
+            # (PERF_NOTES.md): it forces the full-capacity programs so a
+            # bench run can isolate whether the bucketed gather/scatter
+            # programs are what wedges the post-run transfer path.
             return None
         # Pow-2 bucket ladder from keyframe_bucket_base: each fused BA call
         # runs on exactly the pow2(live) keyframe substack, so early-run BA

@@ -243,11 +243,14 @@ def bench_slam_scaling() -> dict:
         loop_detection_images_width=w,
         loop_detection_images_height=h,
         fps_restriction=0,  # pacing off -> steady-frame chunking active
-        # Bisection knob ONLY (default on): BENCH_LONGRUN_DETECTION=0
-        # isolates whether the post-run TPU worker crash and the final
-        # segment's FPS collapse come from the detection/closure path.
+        # Bisection knobs ONLY (defaults on): BENCH_LONGRUN_DETECTION=0
+        # isolates the detection/closure path; BENCH_LONGRUN_CHUNKING=0
+        # isolates the fused lax.scan chunk program (D2H-wedge hunt,
+        # PERF_NOTES.md).
         enable_loop_detection=os.environ.get(
             "BENCH_LONGRUN_DETECTION", "1") != "0",
+        steady_frame_chunking=os.environ.get(
+            "BENCH_LONGRUN_CHUNKING", "1") != "0",
     )  # everything else: DEFAULTS (loop detection on, parallel BA on)
 
     rng = np.random.default_rng(7)
@@ -314,15 +317,19 @@ def bench_slam_scaling() -> dict:
 
     # Per-BA-iteration time at the final keyframe count (read-free:
     # block-synced wall time around single-iteration calls).
-    ba = slam.direct_ba
-    ba.bundle_adjustment(max_iterations=1)      # warm this variant
-    jax.block_until_ready(ba.keyframes.q)
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        ba.bundle_adjustment(max_iterations=1)
-    jax.block_until_ready(ba.keyframes.q)
-    ba_iter_ms = 1e3 * (time.perf_counter() - t0) / reps
+    # BENCH_LONGRUN_BA_TIMING=0 skips it (D2H-wedge bisection: these
+    # post-run BA calls are the last device work before the reads).
+    ba_iter_ms = -1.0
+    if os.environ.get("BENCH_LONGRUN_BA_TIMING", "1") != "0":
+        ba = slam.direct_ba
+        ba.bundle_adjustment(max_iterations=1)      # warm this variant
+        jax.block_until_ready(ba.keyframes.q)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            ba.bundle_adjustment(max_iterations=1)
+        jax.block_until_ready(ba.keyframes.q)
+        ba_iter_ms = 1e3 * (time.perf_counter() - t0) / reps
 
     out = {"frames": frames}
     for m, fps, ph in zip(marks, seg_fps, seg_phases):
