@@ -114,14 +114,22 @@ _READ_HUNG = False  # a device read wedged in C land (thread never joined)
 
 
 def _read_scalar(x, retries: int = 1, wait_s: float = 5.0,
-                 as_array: bool = False, timeout_s: float = 60.0):
-    """Read one device value with a bounded retry AND a hang timeout: the
-    first read after a long run has crashed the TPU worker with a
-    transient UNAVAILABLE (BENCH_r03) or wedged indefinitely inside the
-    PJRT client (BENCH_r04 ladder — SIGALRM can't interrupt a C-land
-    block, so the read runs on a daemon thread and the caller times out
-    the join). After a timeout the caller must finish via os._exit: jax's
-    atexit backend teardown joins the same wedged state."""
+                 as_array: bool = False, timeout_s: float = 600.0):
+    """Read one device value with a bounded retry AND a hang timeout.
+
+    Measured on the relay (tools/probe_wedge_slam.py, 2026-08-19): the
+    FIRST D2H of a process that has touched non-trivial device state pays
+    a ONE-TIME session sync of wildly variable cost — 16 s to 315 s
+    observed, independent of live HBM and of how many programs ran — and
+    every subsequent read is instant (<1 ms). The r03/r04 'post-long-run
+    wedge' was exactly this cost crossing a 60 s timeout. So: the default
+    budget is 10 minutes, callers read a TINY sentinel first to absorb
+    the sync, and the read runs on a daemon thread (the block is
+    un-interruptible in C land — SIGALRM never fires) so a true hang
+    still times out the join. After a timeout the caller must finish via
+    os._exit: jax's atexit backend teardown joins the same wedged state.
+    The occasional hard worker crash at this sync (UNAVAILABLE,
+    BENCH_r03) is retried by the caller in a fresh process."""
     import threading
 
     import jax
@@ -434,10 +442,13 @@ def _longrun_child() -> None:
 
     _apply_platform_override()
     enable_compile_cache()
-    # Sentinel uploaded BEFORE the run and untouched by it: reading it
-    # after the run discriminates "the long run left the worker dead /
-    # poisoned" (sentinel read also fails) from "the post-run read's own
-    # kernels fault" (sentinel reads fine, counter/ATE reads crash).
+    # Sentinel uploaded BEFORE the run and untouched by it. Reading it
+    # first serves two purposes: (a) it absorbs the relay's ONE-TIME
+    # first-read session sync (16-315 s observed; tools/probe_wedge_slam)
+    # so the closure/ATE reads that follow are instant, and (b) it
+    # discriminates "the long run left the worker dead" (sentinel read
+    # also fails) from "the post-run read's own kernels fault" (sentinel
+    # reads fine, counter/ATE reads crash).
     sentinel = jnp.asarray(np.float32(42.0))
     jax.block_until_ready(sentinel)
     try:

@@ -11,7 +11,10 @@ and a SUCCESSFUL read would degrade the session (PERF_NOTES.md) so only
 one attempt per process is meaningful.
 
 Usage:  python tools/probe_wedge_slam.py <n_frames> [flags]
-Flags:  nochunk  nodeform  noba  nokf
+Flags:  nochunk  noba  smallmap  delslam  readtwice
+(smallmap: 16k-surfel map — does read latency scale with live HBM?;
+delslam: drop every SLAM device reference + wait before reading;
+readtwice: is the cost one-time per session or per read?)
 """
 
 from __future__ import annotations
@@ -50,7 +53,7 @@ def main() -> None:
                                                      int(FRAMES * 0.9)))
     cfg = BadSlamConfig(
         num_scales=5,
-        max_surfel_count=1 << 20,
+        max_surfel_count=1 << 14 if "smallmap" in flags else 1 << 20,
         loop_detection_image_frequency=0.5,
         loop_detection_images_width=W,
         loop_detection_images_height=H,
@@ -97,12 +100,22 @@ def main() -> None:
     jax.block_until_ready(slam.traj_q)
     out["run_s"] = round(time.perf_counter() - t0, 3)
 
+    if "delslam" in flags:
+        import gc
+
+        del slam, video
+        gc.collect()
+        time.sleep(5.0)  # let the relay process the frees
+        out["post_del_sleep_s"] = 5.0
     try:
-        v, dt = timed_read(
-            sentinel, timeout_s=float(os.environ.get("PROBE_TIMEOUT", 60)))
+        to = float(os.environ.get("PROBE_TIMEOUT", 60))
+        v, dt = timed_read(sentinel, timeout_s=to)
         out["sentinel_read"] = float(v)
         out["read_s"] = round(dt, 3)
         out["wedged"] = False
+        if "readtwice" in flags:
+            v2, dt2 = timed_read(sentinel, timeout_s=to)
+            out["read2_s"] = round(dt2, 3)
     except Exception as e:
         out["read_error"] = repr(e)[:120]
         out["wedged"] = True
