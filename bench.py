@@ -330,12 +330,17 @@ def bench_slam_scaling() -> dict:
     ba_iter_ms = -1.0
     if os.environ.get("BENCH_LONGRUN_BA_TIMING", "1") != "0":
         ba = slam.direct_ba
-        ba.bundle_adjustment(max_iterations=1)      # warm this variant
+        # increase_ba_iteration_count=False: an advancing epoch grows the
+        # pessimistic surfel bound ~58k/call here, crossing pow-2 buckets
+        # and RECOMPILING the fused programs inside the timed reps
+        # (measured: 8.9 s/"iteration" on an 0.9 ms program, 2026-08-19).
+        kw = dict(max_iterations=1, increase_ba_iteration_count=False)
+        ba.bundle_adjustment(**kw)                  # warm this variant
         jax.block_until_ready(ba.keyframes.q)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
-            ba.bundle_adjustment(max_iterations=1)
+            ba.bundle_adjustment(**kw)
         jax.block_until_ready(ba.keyframes.q)
         ba_iter_ms = 1e3 * (time.perf_counter() - t0) / reps
 
@@ -575,17 +580,27 @@ def _run_longrun_subprocess() -> dict:
         return last
 
     result = once()
-    if "error" in result or "read_error" in result:
-        retry = once()
-        retry["first_attempt"] = {k: result.get(k) for k in
-                                  ("error", "read_error") if k in result}
-        # Keep whichever attempt produced accuracy evidence.
-        if ("ate_rmse_m" in retry or "loop_closures" in retry
-                or "error" in result):
-            return retry
-        result["retry_also_failed"] = {
-            k: retry.get(k) for k in ("error", "read_error") if k in retry}
-    return result
+    attempts = [result]
+    # The first-read session sync is flaky (PERF_NOTES: completes in
+    # 16-315 s OR crashes the worker after ~10 min, apparently by relay
+    # load) — retries in fresh processes are cheap with the warm compile
+    # cache, so take up to 2.
+    for _ in range(2):
+        if not ("error" in attempts[-1] or "read_error" in attempts[-1]):
+            break
+        time.sleep(60.0)  # a crashed worker needs time to restart; a
+        # fresh child launched into the restart window hangs again
+        attempts.append(once())
+    best = attempts[-1]
+    for a in attempts:
+        if "ate_rmse_m" in a or "loop_closures" in a:
+            best = a
+            break
+    if len(attempts) > 1:
+        best["prior_attempts"] = [
+            {k: a.get(k) for k in ("error", "read_error") if k in a}
+            for a in attempts if a is not best]
+    return best
 
 
 def main() -> None:

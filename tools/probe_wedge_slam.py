@@ -100,6 +100,43 @@ def main() -> None:
     jax.block_until_ready(slam.traj_q)
     out["run_s"] = round(time.perf_counter() - t0, 3)
 
+    if "cbread" in flags:
+        # Host-callback channel instead of a classic D2H read: does
+        # debug.print / io_callback deliver a value where the first
+        # normal read pays a 16-315 s session sync (or crashes the
+        # worker)? If yes, the bench can ship ATE/closure evidence
+        # through this path and never issue a classic read.
+        t0 = time.perf_counter()
+        try:
+            @jax.jit
+            def emit(x):
+                jax.debug.print("CBVALUE {v}", v=x)
+                return x + 0.0
+
+            jax.block_until_ready(emit(sentinel))
+            out["debug_print_s"] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            out["debug_print_error"] = repr(e)[:120]
+        t0 = time.perf_counter()
+        try:
+            import jax.experimental as jex
+
+            box = {}
+
+            def sink(v):
+                box["v"] = float(v)
+                print(f"IOCB {box['v']}", flush=True)
+                return np.float32(0.0)
+
+            @jax.jit
+            def emit2(x):
+                return jex.io_callback(sink, jax.ShapeDtypeStruct((), jnp.float32), x)
+
+            jax.block_until_ready(emit2(sentinel))
+            out["io_callback_s"] = round(time.perf_counter() - t0, 3)
+            out["io_callback_value"] = box.get("v")
+        except Exception as e:
+            out["io_callback_error"] = repr(e)[:120]
     if "delslam" in flags:
         import gc
 
