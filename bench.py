@@ -508,12 +508,18 @@ def _longrun_child() -> None:
                 time.perf_counter() - t0, 3)
     except Exception as e:
         long_run["liveness_error"] = repr(e)[:120]
-    # Reads happen IMMEDIATELY after the timed sections while the session
-    # is still healthy: device-computed ATE (one scalar) first, then the
-    # device closure counter — each with a bounded UNAVAILABLE retry.
+    # A short quiesce before the first D2H: the read triggers a one-time
+    # session-wide flush (PERF_NOTES), and every r04 sentinel issued hot on
+    # the run's heels crashed the worker ~100 s in; give the relay a
+    # moment to drain the run's queue before asking for the sync.
+    time.sleep(30.0)
+    # Reads happen right after the timed sections while the session is
+    # still healthy: sentinel (absorbs the one-time sync), then the device
+    # closure counter, then the device-computed ATE moments.
     try:
         t0 = time.perf_counter()
-        long_run["sentinel_read"] = _read_scalar(sentinel, retries=0)
+        long_run["sentinel_read"] = _read_scalar(sentinel, retries=0,
+                                                 timeout_s=360.0)
         long_run["sentinel_read_s"] = round(time.perf_counter() - t0, 3)
     except Exception as e:
         long_run["sentinel_error"] = repr(e)[:120]
@@ -588,8 +594,9 @@ def _run_longrun_subprocess() -> dict:
     for _ in range(2):
         if not ("error" in attempts[-1] or "read_error" in attempts[-1]):
             break
-        time.sleep(60.0)  # a crashed worker needs time to restart; a
-        # fresh child launched into the restart window hangs again
+        time.sleep(150.0)  # a crashed worker needs time to restart; a
+        # fresh child launched into the restart window hangs again (r04:
+        # 60 s was not enough — all 3 attempts hit the same UNAVAILABLE)
         attempts.append(once())
     best = attempts[-1]
     for a in attempts:
@@ -644,6 +651,15 @@ def main() -> None:
             0.0, 0.0, [], [], None, None)
         errors["slam"] = repr(e)[:200]
 
+    # The long-run child goes FIRST, before ANY parent read: in both r03
+    # and r04 the parent's post-headline ATE read wedged (600 s hang) or
+    # crashed the TPU worker, and the long-run children launched into that
+    # poisoned window — every child sentinel read then hit UNAVAILABLE.
+    # With the child first, its one evidence read runs against a quiet
+    # relay; the parent's own read risk comes after, where it can only
+    # hurt the parent's ATE field.
+    long_run = _run_longrun_subprocess()
+
     # -------- parent reads (degradation tolerated from here on) --------
     # Guarded: the headline JSON line must print even if the TPU worker
     # died mid-run — the driver records exactly one line. The ATE itself
@@ -652,8 +668,6 @@ def main() -> None:
         slam_ate = round(_ate_of(slam1, gt1), 8) if slam1 is not None else -1.0
     except Exception as e:
         slam_ate = f"read failed: {repr(e)[:120]}"
-
-    long_run = _run_longrun_subprocess()
 
     print(json.dumps({
         "metric": "slam_fps",
