@@ -524,6 +524,16 @@ def _longrun_child() -> None:
     except Exception as e:
         long_run["sentinel_error"] = repr(e)[:120]
         long_run["sentinel_error_s"] = round(time.perf_counter() - t0, 3)
+        if isinstance(e, TimeoutError):
+            # A HUNG sentinel means the session flush is wedged: the
+            # closure/ATE reads would each hang their full budgets too
+            # (worst case +20 min per attempt). Bail fast; the parent's
+            # fresh-process retry is the recovery path.
+            long_run["read_error"] = "sentinel hung; skipping reads"
+            print(json.dumps(long_run), flush=True)
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(0)
     if os.environ.get("BENCH_LONGRUN_DETECTION", "1") == "0":
         long_run["detection_disabled"] = True
     try:
