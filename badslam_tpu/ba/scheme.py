@@ -520,7 +520,9 @@ class DirectBA:
         ks = self.keyframes
         cap = ks.capacity
         live = ks.live_count
-        if live == 0 or os.environ.get("BADSLAM_DISABLE_KF_BUCKET"):
+        disable_bucket = os.environ.get(
+            "BADSLAM_DISABLE_KF_BUCKET", "0") not in ("", "0")
+        if live == 0 or disable_bucket:
             # The env knob exists for D2H-wedge bisection on the relay
             # (PERF_NOTES.md): it forces the full-capacity programs so a
             # bench run can isolate whether the bucketed gather/scatter

@@ -15,13 +15,25 @@ NO device->host value reads happen before or during the timed regions
 (PERF_NOTES.md: a single read permanently degrades the axon session).
 Timing is host clocks + jax.block_until_ready only.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Evidence is printed INCREMENTALLY (round-4 verdict #1): the headline JSON
+line goes to stdout the moment the timed headline sections finish — BEFORE
+the long-run child — and a final enriched line (long-run FPS segments, ATE,
+loop closures) follows when the long-run completes. The driver records the
+LAST JSON line, so a wall-clock timeout now surrenders only the enrichment,
+never the headline. A global deadline governor (`BENCH_BUDGET_S`, default
+2400 s) force-emits the best-available line with `"budget_exceeded": true`
+and exits 0 before any external timeout can strike.
+
+Prints JSON lines shaped {"metric", "value", "unit", "vs_baseline", ...};
+the last one printed is the round's record.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -37,6 +49,52 @@ KEYFRAME_INTERVAL = 10
 BA_ITERATIONS = 10
 TRACK_ITERS = 30  # kMaxIterationsPerScale (bad_slam_config.h)
 LONGRUN_FRAMES = int(os.environ.get("BENCH_LONGRUN_FRAMES", 720))
+
+# ---------------------------------------------------------------------------
+# Deadline governor (round-4 verdict #1): BENCH_r04 was rc=124/parsed=null —
+# the driver's wall-clock budget expired before bench.py printed its
+# output-last JSON. Every bench process now carries (a) a module-global
+# "best line so far" updated after each completed section, and (b) a daemon
+# thread that force-prints that line with `budget_exceeded: true` and exits
+# 0 shortly before the budget runs out. Worst case is now a partial line,
+# never an empty round.
+# ---------------------------------------------------------------------------
+_BEST_LINE: dict = {}
+_BEST_LOCK = threading.Lock()
+_DONE = False
+
+
+def _set_best(line: dict) -> None:
+    global _BEST_LINE
+    with _BEST_LOCK:
+        _BEST_LINE = dict(line)
+
+
+def _start_governor(deadline: float, margin_s: float = 20.0) -> None:
+    """Arm the force-emit thread: at `deadline - margin_s` (monotonic), print
+    the best-available JSON line and os._exit(0). A normal completion sets
+    `_DONE` first and wins the race; os._exit is mandatory here — a wedged
+    device read can never be joined (C-land block, see _read_scalar)."""
+
+    def _fire():
+        while True:
+            rem = (deadline - margin_s) - time.monotonic()
+            if _DONE:
+                return
+            if rem <= 0:
+                break
+            time.sleep(min(rem, 2.0))
+        if _DONE:
+            return
+        with _BEST_LOCK:
+            line = dict(_BEST_LINE)
+        line["budget_exceeded"] = True
+        print(json.dumps(line), flush=True)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    threading.Thread(target=_fire, daemon=True).start()
 
 
 def _apply_platform_override() -> None:
@@ -93,7 +151,7 @@ def _render_frames(cam, scene, poses, raw_to_float_depth):
     return depths, rgbs
 
 
-def _ate_of(slam, gt) -> float:
+def _ate_of(slam, gt, timeout_s: float = 600.0) -> float:
     """ATE RMSE of a finished run: the device reduces the trajectory to the
     11-float Horn moments (mean/center/matmul only) and the 3x3 SVD runs
     on the HOST — `jnp.linalg.svd` on device crashed the TPU worker at
@@ -106,7 +164,8 @@ def _ate_of(slam, gt) -> float:
     gt_t = np.array([np.asarray(p.t, np.float32) for p in gt])
     n = min(slam.traj_q.shape[0], len(gt_t))
     C, se, sg = syn.ate_moments_device(slam.traj_t[:n], gt_t[:n])
-    moments = [_read_scalar(x, as_array=True) for x in (C, se, sg)]
+    moments = [_read_scalar(x, as_array=True, timeout_s=timeout_s)
+               for x in (C, se, sg)]
     return syn.ate_rmse_from_moments(moments[0], moments[1], moments[2], n)
 
 
@@ -196,7 +255,9 @@ def bench_slam(cam, scene):
     # Warm both variants (compiles persist), then time each REPS times and
     # report median + all runs — round 3 shipped a single-sample regression
     # that was indistinguishable from relay noise (VERDICT r03 weak #1).
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    # Default 2 (was 3): r04's budget timeout cost the whole round; 2 reps
+    # still exposes spread while fitting the deadline governor's budget.
+    reps = int(os.environ.get("BENCH_REPS", 2))
     one_pass(True)
     one_pass(False)
     runs_ch, runs_pf = [], []
@@ -327,7 +388,7 @@ def bench_slam_scaling() -> dict:
     # block-synced wall time around single-iteration calls).
     # BENCH_LONGRUN_BA_TIMING=0 skips it (D2H-wedge bisection: these
     # post-run BA calls are the last device work before the reads).
-    ba_iter_ms = -1.0
+    ba_iter_ms = None
     if os.environ.get("BENCH_LONGRUN_BA_TIMING", "1") != "0":
         ba = slam.direct_ba
         # increase_ba_iteration_count=False: an advancing epoch grows the
@@ -351,8 +412,12 @@ def bench_slam_scaling() -> dict:
     out.update(
         fps_total=round(total_fps, 2),
         live_keyframes=slam.direct_ba.keyframes.live_count,
-        ba_iteration_ms=round(ba_iter_ms, 3),
+        # null + explicit flag when timing is disabled (advisor r04: -1.0
+        # was ingestible downstream as a measured time).
+        ba_iteration_ms=None if ba_iter_ms is None else round(ba_iter_ms, 3),
     )
+    if ba_iter_ms is None:
+        out["ba_timing_disabled"] = True
     return out, slam, gt
 
 
@@ -436,14 +501,27 @@ def _longrun_child() -> None:
     twice, both times at the first post-long-run readback. Here every
     section reads its own values promptly in its own process. The timed
     results are printed BEFORE the reads so a read-time worker crash
-    still surrenders the measurements."""
-    import sys
+    still surrenders the measurements.
+
+    The child runs under its own deadline governor: the parent passes the
+    remaining budget via BENCH_CHILD_BUDGET_S, and every sleep/read budget
+    below is scaled to what is actually left, so the child can never
+    outlive the parent's deadline silently."""
+    global _DONE
 
     import jax
     import jax.numpy as jnp
 
     from badslam_tpu.utils.cache import enable_compile_cache
     from badslam_tpu.utils.timing import Timing
+
+    budget = float(os.environ.get("BENCH_CHILD_BUDGET_S", 1500))
+    deadline = time.monotonic() + budget
+    _set_best({"error": "child budget expired before timed results"})
+    _start_governor(deadline, margin_s=10.0)
+
+    def _left(margin: float = 0.0) -> float:
+        return max(0.0, deadline - time.monotonic() - margin)
 
     _apply_platform_override()
     enable_compile_cache()
@@ -475,13 +553,12 @@ def _longrun_child() -> None:
                            ("bytes_in_use", "peak_bytes_in_use",
                             "bytes_limit", "num_allocs") if k in stats}
     print(json.dumps(long_run), flush=True)  # timed results, pre-read
+    _set_best(long_run)  # governor now surrenders at worst the timed pass
     # Liveness probe BEFORE any D2H: submit one trivial program and block
     # (on a daemon thread — the block itself can wedge). Long timing here
     # = the 'block_until_ready is not a full sync' theory (a minutes-deep
     # queue finally draining); a crash/hang here = the worker died mid-run
     # and D2H was never the trigger.
-    import threading
-
     global _READ_HUNG
     try:
         t0 = time.perf_counter()
@@ -511,15 +588,19 @@ def _longrun_child() -> None:
     # A short quiesce before the first D2H: the read triggers a one-time
     # session-wide flush (PERF_NOTES), and every r04 sentinel issued hot on
     # the run's heels crashed the worker ~100 s in; give the relay a
-    # moment to drain the run's queue before asking for the sync.
-    time.sleep(30.0)
+    # moment to drain the run's queue before asking for the sync. Skipped
+    # when the budget is nearly spent — the reads matter more.
+    time.sleep(min(30.0, _left(margin=180.0)))
     # Reads happen right after the timed sections while the session is
     # still healthy: sentinel (absorbs the one-time sync), then the device
-    # closure counter, then the device-computed ATE moments.
+    # closure counter, then the device-computed ATE moments. Every read
+    # budget is capped by the remaining child budget (minus a margin for
+    # the prints) so the governor never has to kill a read mid-flight.
     try:
         t0 = time.perf_counter()
-        long_run["sentinel_read"] = _read_scalar(sentinel, retries=0,
-                                                 timeout_s=360.0)
+        long_run["sentinel_read"] = _read_scalar(
+            sentinel, retries=0,
+            timeout_s=max(30.0, min(360.0, _left(margin=120.0))))
         long_run["sentinel_read_s"] = round(time.perf_counter() - t0, 3)
     except Exception as e:
         long_run["sentinel_error"] = repr(e)[:120]
@@ -540,48 +621,75 @@ def _longrun_child() -> None:
         # Closure counter FIRST: it reads an existing int buffer (no new
         # kernel), so a crash in the ATE kernels can no longer take the
         # closure evidence down with it (BENCH_r03/r04 lost both).
-        long_run["loop_closures"] = int(
-            _read_scalar(slam2._closure_count_dev))
+        long_run["loop_closures"] = int(_read_scalar(
+            slam2._closure_count_dev,
+            timeout_s=max(20.0, min(300.0, _left(margin=60.0)))))
+        _set_best(long_run)
     except Exception as e:
         long_run["read_error"] = repr(e)[:120]
     try:
-        long_run["ate_rmse_m"] = round(_ate_of(slam2, gt2), 6)
+        long_run["ate_rmse_m"] = round(
+            _ate_of(slam2, gt2,
+                    timeout_s=max(20.0, min(300.0, _left(margin=30.0)))), 6)
     except Exception as e:
         long_run.setdefault("read_error", repr(e)[:120])
     print(json.dumps(long_run), flush=True)
+    _set_best(long_run)
+    _DONE = True
     if _READ_HUNG:
         # A read wedged inside the PJRT client; jax's atexit teardown
         # would join the same wedged state and hang the child forever.
-        import os as _os
-        import sys as _sys
-
-        _sys.stdout.flush()
-        _sys.stderr.flush()
-        _os._exit(0)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
-def _run_longrun_subprocess() -> dict:
-    """Launch the long-run in a fresh process; return its last JSON line.
+def _run_longrun_subprocess(budget_s: float) -> dict:
+    """Launch the long-run in a fresh process; return its best JSON line.
 
     The relay accepts a second client while the parent holds its session
     (verified 2026-08-17: concurrent A/B processes both jit + read fine).
     If the child's post-run reads crashed the TPU worker (read_error) or
-    the child died, retry ONCE in a fresh process — compiles are warm in
-    the persistent cache, so the retry costs the run, not the compiles."""
+    the child died, retry in a fresh process WHEN the budget allows —
+    compiles are warm in the persistent cache, so a retry costs the run,
+    not the compiles. `budget_s` caps the whole section: each child gets
+    the remaining time via BENCH_CHILD_BUDGET_S (its own governor trims
+    sleeps/reads to fit), and retries are skipped once too little budget
+    remains for a meaningful attempt."""
     import subprocess
-    import sys
 
-    def once():
-        proc = subprocess.run(
-            [sys.executable, __file__, "--longrun-child"],
-            capture_output=True, text=True)
-        if proc.stderr:
+    deadline = time.monotonic() + budget_s
+    # Below this much remaining budget a child attempt cannot complete a
+    # warm 720-frame warmup + timed pass + reads (measured r04 tail: the
+    # passes alone are ~1-2 min warm); don't burn the tail on a doomed run.
+    min_attempt_s = float(os.environ.get("BENCH_MIN_ATTEMPT_S", 420))
+    retry_sleep_s = 150.0  # a crashed worker needs time to restart; 60 s
+    # was not enough in r04 — all 3 attempts hit the same UNAVAILABLE.
+
+    def once(child_budget: float):
+        env = dict(os.environ, BENCH_CHILD_BUDGET_S=str(int(child_budget)))
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--longrun-child"],
+                capture_output=True, text=True, env=env,
+                timeout=child_budget + 60.0)
+            out, err, rc = proc.stdout, proc.stderr, proc.returncode
+        except subprocess.TimeoutExpired as te:  # governor failed to fire;
+            # salvage whatever the child printed before the hard kill
+            out = te.stdout or ""
+            err = te.stderr or ""
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", "replace")
+            if isinstance(err, bytes):
+                err = err.decode("utf-8", "replace")
+            rc = -9
+        if err:
             # Forward the child's stderr (phase Timing report + jax
-            # warnings): stdout keeps the one-JSON-line contract, stderr
+            # warnings): stdout keeps the JSON-lines contract, stderr
             # carries diagnosis.
-            print(proc.stderr, file=sys.stderr, flush=True)
+            print(err, file=sys.stderr, flush=True)
         last = None
-        for line in proc.stdout.splitlines():
+        for line in out.splitlines():
             line = line.strip()
             if line.startswith("{"):
                 try:
@@ -589,30 +697,29 @@ def _run_longrun_subprocess() -> dict:
                 except ValueError:
                     pass
         if last is None:
-            return {"error": f"child rc={proc.returncode}: "
-                             f"{proc.stderr.strip()[-200:]}"}
-        if proc.returncode != 0:
-            last.setdefault("child_error", proc.stderr.strip()[-200:])
+            return {"error": f"child rc={rc}: {err.strip()[-200:]}"}
+        if rc != 0:
+            last.setdefault("child_error", err.strip()[-200:])
         return last
 
-    result = once()
-    attempts = [result]
+    attempts = [once(max(min_attempt_s, deadline - time.monotonic() - 30))]
     # The first-read session sync is flaky (PERF_NOTES: completes in
     # 16-315 s OR crashes the worker after ~10 min, apparently by relay
-    # load) — retries in fresh processes are cheap with the warm compile
-    # cache, so take up to 2.
-    for _ in range(2):
-        if not ("error" in attempts[-1] or "read_error" in attempts[-1]):
-            break
-        time.sleep(150.0)  # a crashed worker needs time to restart; a
-        # fresh child launched into the restart window hangs again (r04:
-        # 60 s was not enough — all 3 attempts hit the same UNAVAILABLE)
-        attempts.append(once())
-    best = attempts[-1]
-    for a in attempts:
-        if "ate_rmse_m" in a or "loop_closures" in a:
-            best = a
-            break
+    # load) — retry in a fresh process while the budget holds.
+    while ("error" in attempts[-1] or "read_error" in attempts[-1]) and \
+            len(attempts) < 3 and \
+            deadline - time.monotonic() > retry_sleep_s + min_attempt_s:
+        time.sleep(retry_sleep_s)
+        attempts.append(once(deadline - time.monotonic() - 30))
+
+    def _completeness(a: dict) -> int:
+        # Advisor r04: rank by completeness, not first-evidence — a partial
+        # first attempt (closures read, ATE crashed) must not shadow a
+        # later complete retry.
+        return (2 if "ate_rmse_m" in a else 0) + \
+               (1 if "loop_closures" in a else 0)
+
+    best = max(attempts, key=_completeness)  # ties -> earliest attempt
     if len(attempts) > 1:
         best["prior_attempts"] = [
             {k: a.get(k) for k in ("error", "read_error") if k in a}
@@ -621,7 +728,20 @@ def _run_longrun_subprocess() -> dict:
 
 
 def main() -> None:
+    global _DONE
+
     from badslam_tpu.utils.cache import enable_compile_cache
+
+    # Global deadline (round-4 verdict #1b): bench must fit the driver's
+    # wall-clock budget or force-emit its best line before dying. 2400 s
+    # default leaves headroom under any plausible external timeout while
+    # covering cold compiles + the long-run on the measured warm numbers.
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
+    deadline = time.monotonic() + budget
+    _set_best({"metric": "slam_fps", "value": 0.0, "unit": "frames/s",
+               "vs_baseline": 0.0,
+               "error": "budget expired before the headline sections"})
+    _start_governor(deadline, margin_s=25.0)
 
     _apply_platform_override()
     enable_compile_cache()
@@ -661,25 +781,10 @@ def main() -> None:
             0.0, 0.0, [], [], None, None)
         errors["slam"] = repr(e)[:200]
 
-    # The long-run child goes FIRST, before ANY parent read: in both r03
-    # and r04 the parent's post-headline ATE read wedged (600 s hang) or
-    # crashed the TPU worker, and the long-run children launched into that
-    # poisoned window — every child sentinel read then hit UNAVAILABLE.
-    # With the child first, its one evidence read runs against a quiet
-    # relay; the parent's own read risk comes after, where it can only
-    # hurt the parent's ATE field.
-    long_run = _run_longrun_subprocess()
-
-    # -------- parent reads (degradation tolerated from here on) --------
-    # Guarded: the headline JSON line must print even if the TPU worker
-    # died mid-run — the driver records exactly one line. The ATE itself
-    # is computed on device; only one scalar is read.
-    try:
-        slam_ate = round(_ate_of(slam1, gt1), 8) if slam1 is not None else -1.0
-    except Exception as e:
-        slam_ate = f"read failed: {repr(e)[:120]}"
-
-    print(json.dumps({
+    # Print the HEADLINE line IMMEDIATELY (round-4 verdict #1a): the driver
+    # records the last JSON line on stdout, so from this point a timeout
+    # surrenders only the long-run enrichment, never the round's number.
+    headline = {
         "metric": "slam_fps",
         "value": round(slam_fps, 2),
         "unit": "frames/s",
@@ -689,15 +794,48 @@ def main() -> None:
         "per_frame_runs": [round(v, 1) for v in runs_pf],
         "vga_odometry_fps": round(odo_fps, 2),
         "odometry_runs": [round(v, 1) for v in odo_runs],
-        "slam_ate_rmse_m": slam_ate,
-        "long_run": long_run,
+        "long_run": {"status": "pending"},
         **({"errors": errors} if errors else {}),
-    }))
-    if _READ_HUNG:  # see _longrun_child: atexit would join the wedge
-        import sys as _sys
+    }
+    _set_best(headline)
+    print(json.dumps(headline), flush=True)
 
-        _sys.stdout.flush()
-        _sys.stderr.flush()
+    # The long-run child goes BEFORE any parent read: in both r03 and r04
+    # the parent's post-headline ATE read wedged (600 s hang) or crashed
+    # the TPU worker, and the long-run children launched into that
+    # poisoned window — every child sentinel read then hit UNAVAILABLE.
+    # With the child first, its one evidence read runs against a quiet
+    # relay; the parent's own read risk comes after, where it can only
+    # hurt the parent's ATE field.
+    min_attempt_s = float(os.environ.get("BENCH_MIN_ATTEMPT_S", 420))
+    remaining = deadline - time.monotonic() - 60.0
+    if remaining >= min_attempt_s:
+        long_run = _run_longrun_subprocess(remaining)
+    else:
+        long_run = {"skipped":
+                    f"insufficient budget ({remaining:.0f}s left)"}
+    headline["long_run"] = long_run
+    _set_best(headline)
+
+    # -------- parent reads (degradation tolerated from here on) --------
+    # Guarded AND bounded: the final enriched line must print even if the
+    # TPU worker died mid-run. The ATE itself is computed on device; only
+    # 11 floats are read, inside the remaining budget.
+    try:
+        read_budget = max(20.0, min(300.0,
+                                    deadline - time.monotonic() - 45.0))
+        slam_ate = (round(_ate_of(slam1, gt1, timeout_s=read_budget), 8)
+                    if slam1 is not None else -1.0)
+    except Exception as e:
+        slam_ate = f"read failed: {repr(e)[:120]}"
+    headline["slam_ate_rmse_m"] = slam_ate
+
+    print(json.dumps(headline), flush=True)
+    _set_best(headline)
+    _DONE = True
+    if _READ_HUNG:  # see _longrun_child: atexit would join the wedge
+        sys.stdout.flush()
+        sys.stderr.flush()
         os._exit(0)
 
 

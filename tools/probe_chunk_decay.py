@@ -29,16 +29,16 @@ sys.path[:0] = [os.path.join(os.path.dirname(__file__), "..")]
 
 
 def main() -> int:
-    import jax
+    # TPU-only guarded cache (utils/cache.py): XLA:CPU executable
+    # (de)serialization crashes on this VM pool — never set the config
+    # keys directly (advisor r04).
+    from badslam_tpu.utils.cache import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/badslam_tpu/xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
     import dataclasses
+
+    import jax
 
     import bench
     from badslam_tpu import synthetic as syn
