@@ -424,6 +424,7 @@ class DirectBA:
         self.timings_stream = None
         self._mesh = None
         self._kf_bucket_floor = 0
+        self._streaming = False  # plane-streamed multi-chip BA active
 
     def set_save_timings(self, stream) -> None:
         self.timings_stream = stream
@@ -449,13 +450,19 @@ class DirectBA:
             self._mesh = Mesh(np.array(devices[:n]), ("d",))
         return self._mesh
 
-    def _shard_for_ba(self, ks=None):
+    def _shard_for_ba(self, ks=None, stream_planes: bool = False):
         """Place the surfel map sharded over the mesh's surfel axis and
         (with `ks`) the keyframe store replicated — a no-op re-placement on
         subsequent calls. The SAME fused BA programs then run SPMD: XLA's
         partitioner inserts the psum/all-gather collectives (pose-opt H/b
         reductions over surfel shards, creation/merge scatters), per the
-        annotate-shardings-and-let-XLA-partition recipe."""
+        annotate-shardings-and-let-XLA-partition recipe.
+
+        With `stream_planes` (the over-budget regime, see
+        `_plane_streaming_wanted`) the big keyframe PLANES are sharded over
+        the keyframe axis instead of replicated — per-chip plane memory
+        drops K -> K/D — and BA runs through the plane-streamed stage
+        programs (parallel/streamed.py) instead of the fused program."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         mesh = self._mesh
@@ -469,12 +476,31 @@ class DirectBA:
         )
         if ks is None:
             return
-        for name in ("depth", "nx", "ny", "radius2", "intensity", "rgb",
-                     "q", "t", "valid", "activation", "covis",
-                     "last_active_iter", "last_covis_iter"):
+        plane_names = ("depth", "nx", "ny", "radius2", "intensity", "rgb")
+        for name in plane_names + (
+                "q", "t", "valid", "activation", "covis",
+                "last_active_iter", "last_covis_iter"):
             arr = getattr(ks, name)
             if arr is not None:
-                setattr(ks, name, jax.device_put(arr, repl))
+                want = shard if (stream_planes and name in plane_names) \
+                    else repl
+                setattr(ks, name, jax.device_put(arr, want))
+
+    def _plane_streaming_wanted(self) -> bool:
+        """True when the integrated multi-chip mode should stream keyframe
+        planes instead of replicating them: the replicated-plane footprint
+        (f32 depth/nx/ny/radius2/intensity + u8 rgb per pixel) exceeds
+        config.plane_replication_budget_mb and the keyframe capacity
+        divides the mesh. Host-only arithmetic — no device reads."""
+        mesh = self._mesh
+        if mesh is None:
+            return False
+        n = mesh.devices.size
+        ks = self.keyframes
+        if ks.capacity % n != 0 or self.surfels.capacity % n != 0:
+            return False
+        mb = ks.capacity * self.cam.height * self.cam.width * 23 / 1e6
+        return mb > self.config.plane_replication_budget_mb
 
     @property
     def _stage_sync(self):
@@ -618,15 +644,107 @@ class DirectBA:
             merge_dist_factor=c.surfel_merge_dist_factor,
         )
 
+    def _run_iterations_streamed(
+        self, max_iterations: int, optimize_geometry: bool,
+        do_surfel_updates: bool, optimize_poses: bool, activate_all: bool,
+    ) -> None:
+        """`max_iterations` alternating-BA iterations through the
+        plane-streamed multi-chip stage programs (parallel/streamed.py):
+        keyframe planes stay sharded over the keyframe axis; each stage
+        streams exactly the planes it needs over ICI. Same iteration
+        structure as `_iteration_core` (creation -> activation+normals ->
+        position -> merge -> compact -> pose opt -> covis propagation);
+        iteration count is fixed (the read-free all-converged exit lives
+        inside the fused single-chip program only)."""
+        from badslam_tpu.parallel import streamed as st
+
+        c = self.config
+        ks = self.keyframes
+        mesh = self._mesh
+        for _ in range(max_iterations):
+            if activate_all:
+                ks.set_activation_window(0, ks.capacity - 1)
+            create_mask, ks.last_active_iter, ks.last_covis_iter = (
+                _begin_iteration_masks(
+                    ks.valid, ks.activation, ks.last_active_iter,
+                    ks.last_covis_iter, jnp.int32(self.ba_iteration_count)))
+            if optimize_geometry and do_surfel_updates:
+                self.surfels, _ = st.create_surfels_streamed(
+                    mesh, self.surfels, self.cam,
+                    ks.depth, ks.nx, ks.ny, ks.radius2, ks.intensity,
+                    ks.rgb, ks.q, ks.t, create_mask, ks.covis, ks.valid,
+                    jnp.int32(self.min_observation_count()),
+                    baseline_fx=c.baseline_fx,
+                    cell_size=c.sparse_surfel_cell_size,
+                )
+            active_strict = ks.active_mask(include_covisible=False)
+            participating = ks.active_mask(include_covisible=True)
+            self.surfels = st.activation_geometry_streamed(
+                mesh, self.surfels, self.cam,
+                ks.depth, ks.nx, ks.ny, ks.intensity, ks.q, ks.t,
+                active_strict, participating,
+                baseline_fx=c.baseline_fx,
+                use_depth=c.use_geometric_residuals,
+                use_descriptor=c.use_photometric_residuals,
+                optimize_geometry=optimize_geometry,
+            )
+            if do_surfel_updates:
+                self.surfels = st.merge_surfels_streamed(
+                    mesh, self.surfels, self.cam,
+                    ks.depth, ks.nx, ks.ny, ks.q, ks.t, create_mask,
+                    baseline_fx=c.baseline_fx,
+                    cell_size=c.sparse_surfel_cell_size,
+                    merge_dist_factor=c.surfel_merge_dist_factor,
+                )
+                self.surfels = st.compact_surfels_streamed(
+                    mesh, self.surfels)
+            if optimize_poses:
+                result = st.optimize_poses_streamed(
+                    mesh, self.surfels, self.cam,
+                    ks.depth, ks.nx, ks.ny, ks.radius2, ks.intensity,
+                    ks.q, ks.t, participating,
+                    baseline_fx=c.baseline_fx,
+                    use_depth=c.use_geometric_residuals,
+                    use_descriptor=c.use_photometric_residuals,
+                    max_iterations=30,
+                )
+                ks.set_poses(result.q, result.t, participating)
+                ks.activation = _reactivation(
+                    ks.activation, participating, result.moved)
+            ks.propagate_covisible_active()
+
     def perform_ba_scheme_end_tasks(self, do_surfel_updates: bool = True):
         """Final merge over this block's active KFs + delete + compact
         (PerformBASchemeEndTasks, direct_ba.cc:566-653) — one program,
         keyframe-bucketed like the iteration path (the delete pass counts
-        observations over every keyframe)."""
+        observations over every keyframe). In the plane-streamed multi-chip
+        mode the same three stages run as streamed programs instead."""
         ks = self.keyframes
         if ks.count == 0:
             return
         c = self.config
+        if self._streaming:
+            from badslam_tpu.parallel import streamed as st
+
+            mesh = self._mesh
+            if do_surfel_updates:
+                recently_active = ks.valid & (
+                    ks.last_active_iter == jnp.int32(self.ba_iteration_count))
+                self.surfels = st.merge_surfels_streamed(
+                    mesh, self.surfels, self.cam,
+                    ks.depth, ks.nx, ks.ny, ks.q, ks.t, recently_active,
+                    baseline_fx=c.baseline_fx,
+                    cell_size=c.sparse_surfel_cell_size,
+                    merge_dist_factor=c.surfel_merge_dist_factor,
+                )
+            self.surfels = st.delete_surfels_streamed(
+                mesh, self.surfels, self.cam,
+                ks.depth, ks.nx, ks.ny, ks.radius2, ks.q, ks.t, ks.valid,
+                jnp.int32(self.min_observation_count()),
+                baseline_fx=c.baseline_fx,
+            )
+            self.surfels = st.compact_surfels_streamed(mesh, self.surfels)
+            return
         self.surfels = _scheme_end_tasks(
             self.surfels, self.cam,
             ks.depth, ks.nx, ks.ny, ks.radius2, ks.intensity,
@@ -788,10 +906,13 @@ class DirectBA:
 
         # Multi-chip mode: place the FULL map + keyframe store on the mesh
         # first so every downstream program (slice, iterations, scheme-end,
-        # write-back) sees a consistent device set.
+        # write-back) sees a consistent device set. Above the plane budget
+        # the planes are sharded over the keyframe axis and the call runs
+        # through the plane-streamed stage programs (parallel/streamed.py).
         mesh_on = self._ba_mesh() is not None
+        self._streaming = mesh_on and self._plane_streaming_wanted()
         if mesh_on:
-            self._shard_for_ba(ks)
+            self._shard_for_ba(ks, stream_planes=self._streaming)
 
         # --- high-water working slice of the surfel map ---
         # Each valid keyframe creates surfels at most once per BA EPOCH
@@ -837,7 +958,24 @@ class DirectBA:
         # below keep per-iteration dispatch for windowing/intrinsics/
         # profiling/synced-convergence).
         iterations_done = 0
-        if (not staged and not fixed_window and not convergence_check
+        if (self._streaming and not staged and not fixed_window
+                and not convergence_check and not time_limit
+                and not (optimize_depth_intrinsics
+                         or optimize_color_intrinsics)):
+            # Plane-streamed multi-chip path: per-iteration stage programs
+            # (the device while_loop early exit and the keyframe bucket
+            # need the fused single program; at the streamed regime's
+            # keyframe counts the per-stage dispatch cost is negligible
+            # against the stage work, and the bucket's O(live) goal is
+            # moot — streaming IS the many-keyframes regime).
+            self._shard_for_ba(stream_planes=True)  # re-pin sliced view
+            with Timing.time("BA iterations (streamed)"):
+                self._run_iterations_streamed(
+                    max_iterations, optimize_geometry, do_surfel_updates,
+                    optimize_poses, activate_all)
+            iterations_done = max_iterations
+            max_iterations = 0
+        elif (not staged and not fixed_window and not convergence_check
                 and not time_limit
                 and not (optimize_depth_intrinsics
                          or optimize_color_intrinsics)):

@@ -133,6 +133,13 @@ class BadSlamConfig:
     # planes replicate. 0/1 = single device (the reference is single-GPU;
     # this is the TPU scaling extension, SURVEY.md 2.9/5.8).
     n_devices: int = 0
+    # Plane-streaming threshold for the integrated multi-chip mode: when
+    # replicating every keyframe plane to every chip would exceed this many
+    # MB, the BA call switches to the plane-STREAMED stage programs
+    # (parallel/streamed.py) — planes sharded over the keyframe axis and
+    # broadcast chunk-by-chunk over ICI, per-chip plane memory K -> K/D.
+    # <= 0 forces streaming whenever a mesh is active (tests/dryrun).
+    plane_replication_budget_mb: float = 2048.0
     max_keyframe_count: int = 512  # stacked keyframe array capacity
     surfel_bucket_base: int = 1 << 16  # map ops run on pow2-bucketed slices
     keyframe_bucket_base: int = 8  # keyframe store + BA live-keyframe bucket grow in pow2 steps from this

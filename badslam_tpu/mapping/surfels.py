@@ -97,7 +97,7 @@ def _cell_index(px, py, cell_size: int, w_cells: int):
 def occupied_cells(
     smap: SurfelMap,
     cam: PinholeCamera,
-    frame_q, frame_t, depth, f_nx, f_ny,
+    kf_q, kf_t, depth, f_nx, f_ny,   # global_T_frame keyframe pose
     baseline_fx: float,
     cell_size: int,
 ) -> jax.Array:
@@ -105,10 +105,16 @@ def occupied_cells(
 
     The supporting-surfels pass used to gate surfel creation
     (DetermineSupportingSurfelsCUDA, kernel_supporting_surfels.cu:40-100).
+    Takes the keyframe's global_T_frame pose and inverts internally —
+    surfels are projected INTO the frame. (Until round 5 this projected
+    with the non-inverted pose: for keyframes away from the origin the
+    support gate looked through a wrong camera, over- or under-creating
+    surfels; surfaced by the plane-streamed equivalence test.)
     """
     h, w = depth.shape
     hc, wc = h // cell_size, w // cell_size
-    assoc = _associate(smap, cam, frame_q, frame_t, depth, f_nx, f_ny, baseline_fx)
+    ftg = se3.inverse(se3.SE3(kf_q, kf_t))
+    assoc = _associate(smap, cam, ftg.q, ftg.t, depth, f_nx, f_ny, baseline_fx)
     cell = _cell_index(assoc.px, assoc.py, cell_size, wc)
     occ = jnp.zeros((hc * wc,), jnp.bool_)
     occ = occ.at[jnp.where(assoc.valid, cell, 0)].max(assoc.valid)
@@ -121,7 +127,7 @@ def occupied_cells(
 def merge_surfels_for_frame(
     smap: SurfelMap,
     cam: PinholeCamera,
-    frame_q, frame_t, depth, f_nx, f_ny,
+    kf_q, kf_t, depth, f_nx, f_ny,   # global_T_frame keyframe pose
     baseline_fx: float,
     cell_size: int,
     merge_dist_factor: float = 0.8,
@@ -132,11 +138,14 @@ def merge_surfels_for_frame(
     for each of the 3 cell slots, the lowest-index remaining surfel claims
     the slot; other surfels in the cell are deleted if their normal agrees
     (cos > 0.76604) and their distance to the claimant is below
-    merge_dist_factor * cell_size * min radius.
+    merge_dist_factor * cell_size * min radius. Takes the keyframe's
+    global_T_frame pose and inverts internally (same round-5 fix as
+    occupied_cells: the pre-fix code projected with the non-inverted pose).
     """
     h, w = depth.shape
     hc, wc = h // cell_size, w // cell_size
-    assoc = _associate(smap, cam, frame_q, frame_t, depth, f_nx, f_ny, baseline_fx)
+    ftg = se3.inverse(se3.SE3(kf_q, kf_t))
+    assoc = _associate(smap, cam, ftg.q, ftg.t, depth, f_nx, f_ny, baseline_fx)
     cell = jnp.where(assoc.valid, _cell_index(assoc.px, assoc.py, cell_size, wc), 0)
     n = smap.capacity
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]

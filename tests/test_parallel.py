@@ -183,3 +183,47 @@ def test_integrated_mesh_ba_matches_single_device():
     assert n1 == n8
     np.testing.assert_allclose(q8, q1, atol=2e-5)
     np.testing.assert_allclose(t8, t1, atol=2e-5)
+
+
+def test_integrated_plane_streamed_ba_matches_single_device():
+    """The INTEGRATED streamed mode (round-4 verdict #6): with
+    plane_replication_budget_mb <= 0 the n_devices BA call keeps the
+    keyframe PLANES sharded over the keyframe axis and runs the
+    plane-streamed stage programs (parallel/streamed.py) — creation,
+    activation+normals, position, merge, compaction, pose opt and the
+    scheme-end tasks all included. Results must match single-device up to
+    float reduction order; surfel counts exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    def run(n_devices):
+        rng = np.random.default_rng(13)
+        cam = synthetic.default_camera(96, 72)
+        scene = synthetic.random_plane_scene(rng, 3)
+        cfg = BadSlamConfig(
+            max_surfel_count=1 << 13, n_devices=n_devices,
+            plane_replication_budget_mb=0.0 if n_devices else 2048.0)
+        ba = DirectBA(cam, cfg, surfel_capacity=1 << 13)
+        gt = [se3.identity(), synthetic.pose(tx=0.03, ty=0.01, rz=0.01)]
+        for i, g in enumerate(gt):
+            d, inten = synthetic.render_scene(cam, scene, g)
+            ba.add_keyframe(fixtures.frame_from_render(cam, d, inten), g, i)
+            if i == 0:
+                ba.create_surfels_for_keyframe(0, filter_new_surfels=False)
+        pert = synthetic.pose(tx=0.004, ty=-0.003, rz=0.001)
+        ba.keyframes.set_pose(1, se3.mul(gt[1], pert))
+        ba.bundle_adjustment(max_iterations=2)
+        if n_devices:
+            assert ba._streaming, "streamed mode must have been selected"
+            # The planes must actually be sharded over the keyframe axis.
+            spec = ba.keyframes.depth.sharding.spec
+            assert spec == P("d"), spec
+        return (np.asarray(ba.keyframes.q), np.asarray(ba.keyframes.t),
+                int(ba.surfels.count),
+                np.asarray(ba.surfels.valid).sum())
+
+    q1, t1, n1, v1 = run(0)
+    q8, t8, n8, v8 = run(8)
+    assert n1 == n8
+    assert v1 == v8
+    np.testing.assert_allclose(q8, q1, atol=2e-5)
+    np.testing.assert_allclose(t8, t1, atol=2e-5)
