@@ -20,9 +20,11 @@ import jax
 
 if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/badslam_tpu/xla"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# TPU-only guarded cache (utils/cache.py): never set the config keys
+# directly — XLA:CPU executable (de)serialization crashes on this VM pool.
+from badslam_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(min_compile_secs=2.0)
 
 import numpy as np
 

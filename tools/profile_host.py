@@ -21,12 +21,9 @@ sys.path[:0] = [os.path.join(os.path.dirname(__file__), "..")]
 def main() -> int:
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/badslam_tpu/xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from badslam_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from badslam_tpu import synthetic as syn
     from badslam_tpu.config import BadSlamConfig

@@ -53,12 +53,12 @@ def main(argv=None) -> int:
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/badslam_tpu/xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    # TPU-only guarded persistent compile cache (utils/cache.py — never
+    # set the config keys directly; XLA:CPU (de)serialization crashes on
+    # this VM pool).
+    from badslam_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from badslam_tpu import synthetic as syn
     from badslam_tpu.cli import main as cli_main
