@@ -525,20 +525,34 @@ def _longrun_child() -> None:
 
     _apply_platform_override()
     enable_compile_cache()
-    # Sentinel uploaded BEFORE the run and untouched by it. Reading it
-    # first serves two purposes: (a) it absorbs the relay's ONE-TIME
-    # first-read session sync (16-315 s observed; tools/probe_wedge_slam)
-    # so the closure/ATE reads that follow are instant, and (b) it
-    # discriminates "the long run left the worker dead" (sentinel read
-    # also fails) from "the post-run read's own kernels fault" (sentinel
-    # reads fine, counter/ATE reads crash).
+    # Sentinel uploaded AND READ at t=0, before ANY compiled program
+    # (round-5 discovery, tools/probe.py read-first 2026-08-19): a first
+    # D2H issued before the session has program state costs ~5 s, does
+    # NOT arm the per-kernel sync fallback (the degradation canary stays
+    # healthy afterwards), and pre-pays the one-time session flush — the
+    # post-run evidence reads then complete in milliseconds. Reading the
+    # sentinel AFTER the run instead crashed the TPU worker outright in
+    # every round-5 attempt (95-130 s into the flush, 3/3, independent of
+    # run length), which is how r03/r04/r05 kept losing ATE + closures.
     sentinel = jnp.asarray(np.float32(42.0))
     jax.block_until_ready(sentinel)
+    t0_read_s = None
+    if os.environ.get("BENCH_T0_READ", "0") == "1":
+        # Opt-in only: after a t0 read, heavy CHUNKED runs crashed the
+        # worker mid-run 2/2 on 2026-08-19 (PERF_NOTES round 5).
+        try:
+            t0 = time.perf_counter()
+            _read_scalar(sentinel, retries=0,
+                         timeout_s=max(30.0, min(240.0, _left(margin=300.0))))
+            t0_read_s = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep going: the post-run sentinel read
+            t0_read_s = repr(e)[:120]   # remains as the (risky) fallback
     try:
         long_run, slam2, gt2 = bench_slam_scaling()
     except Exception as e:
         print(json.dumps({"error": repr(e)[:200]}), flush=True)
         return
+    long_run["t0_read_s"] = t0_read_s
     # Host-clock phase breakdown of the TIMED pass (bench_slam_scaling
     # resets the registry after warmup) — stderr so the driver's
     # one-JSON-line contract on stdout is untouched.
@@ -600,7 +614,7 @@ def _longrun_child() -> None:
         t0 = time.perf_counter()
         long_run["sentinel_read"] = _read_scalar(
             sentinel, retries=0,
-            timeout_s=max(30.0, min(360.0, _left(margin=120.0))))
+            timeout_s=max(30.0, min(600.0, _left(margin=120.0))))
         long_run["sentinel_read_s"] = round(time.perf_counter() - t0, 3)
     except Exception as e:
         long_run["sentinel_error"] = repr(e)[:120]
@@ -745,6 +759,21 @@ def main() -> None:
 
     _apply_platform_override()
     enable_compile_cache()
+
+    # OPT-IN t=0 read (BENCH_T0_READ=1): pre-pays the session's one-time
+    # first-read flush before any compiled program exists, making the
+    # final slam_ate read instant (probe read-first 2026-08-19). Default
+    # OFF: both 240-frame chunked runs attempted after a t0 read crashed
+    # the TPU worker MID-RUN (PERF_NOTES round 5) — a risk the headline
+    # sections must never take.
+    if os.environ.get("BENCH_T0_READ", "0") == "1":
+        import jax.numpy as jnp
+
+        try:
+            _read_scalar(jnp.asarray(np.float32(7.0)), retries=0,
+                         timeout_s=240.0)
+        except Exception:
+            pass  # fall back to the guarded end-of-run read
 
     from badslam_tpu import synthetic as syn
 

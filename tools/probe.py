@@ -695,6 +695,13 @@ def cmd_wedge_slam(n: int, flags: set) -> int:
     video = bench._InMemoryVideo(cam, depths, rgbs)
     sentinel = jnp.asarray(np.float32(42.0))
     jax.block_until_ready(sentinel)
+    if "t0read" in flags:
+        # Pre-pay the first-read session flush BEFORE any compiled program
+        # (PERF_NOTES round 5): cheap, leaves the canary healthy, makes
+        # post-run reads instant — but chunked heavy runs after it crashed
+        # the worker 2/2 on 2026-08-19, hence this bisection flag.
+        v, dt = timed_read(sentinel, timeout_s=240)
+        out["t0_read_s"] = round(dt, 3)
 
     slam = BadSlam(cfg, video)
     t0 = time.perf_counter()
