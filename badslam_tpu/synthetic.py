@@ -541,6 +541,82 @@ def ate_rmse_from_moments(C, se, sg, n: int) -> float:
     return float(np.sqrt(resid / n))
 
 
+def ate_rmse_device(traj_t, gt_t):
+    """Fully ON-DEVICE SE3-aligned ATE RMSE: ONE device scalar, no SVD, no
+    host half, no D2H read. Built for the chronometric readout
+    (utils/timeread.py): on the current relay every post-run D2H read
+    crashes or hangs the TPU worker, so the whole metric must live on
+    device and leave through the timing channel.
+
+    Method: Horn's closed-form absolute orientation via the quaternion
+    eigen-problem — the optimal R is the dominant eigenvector of the 4x4
+    symmetric K(S) with S = E^T G — solved by 30 shifted matrix SQUARINGS
+    (power iteration to the 2^30th power: converges for any eigengap that
+    matters, 4x4 matmuls only, TPU-trivial). The residual is then computed
+    DIRECTLY as sum|E_i R^T - G_i|^2 rather than Horn's se+sg-2*lambda
+    difference form: at bench scales that difference cancels ~1e8x and was
+    the round-4 8x-ATE-inflation bug; the direct form is a plain positive
+    sum, exact in f32. First-order optimality makes the residual
+    insensitive to eigenvector error (quadratic minimum), so f32 power
+    iteration is ample. Both rotation conventions are evaluated and the
+    min taken — the suboptimal one is never smaller, so this is exact and
+    convention-proof.
+
+    Equivalent of the reference's TUM/ETH3D ATE evaluation protocol
+    (reference README.md benchmark workflow); matches
+    `ate_rmse(align="se3")` to f32 precision (tested)."""
+    import jax
+
+    @jax.jit
+    def _ate(est, gt):
+        est = est.astype(jnp.float32)
+        gt = gt.astype(jnp.float32)
+        n = est.shape[0]
+        E = est - est.mean(0)
+        G = gt - gt.mean(0)
+        S = jnp.matmul(E.T, G, precision=jax.lax.Precision.HIGHEST)
+        t = jnp.trace(S)
+        # Horn's K: dominant eigenvector q -> R rotating E-frame into
+        # G-frame (convention hedged by the final min).
+        K = jnp.array(
+            [[t, S[1, 2] - S[2, 1], S[2, 0] - S[0, 2], S[0, 1] - S[1, 0]],
+             [S[1, 2] - S[2, 1], 2 * S[0, 0] - t,
+              S[0, 1] + S[1, 0], S[2, 0] + S[0, 2]],
+             [S[2, 0] - S[0, 2], S[0, 1] + S[1, 0],
+              2 * S[1, 1] - t, S[1, 2] + S[2, 1]],
+             [S[0, 1] - S[1, 0], S[2, 0] + S[0, 2],
+              S[1, 2] + S[2, 1], 2 * S[2, 2] - t]])
+        # Shift to make lambda_max(K) the dominant eigenvalue of a PSD
+        # matrix (Gershgorin bound), then square 30 times; renormalize by
+        # max|B| each squaring to stay in f32 range.
+        B = K + (1.0 + jnp.sum(jnp.abs(K))) * jnp.eye(4, dtype=K.dtype)
+
+        def _sq(B, _):
+            B = jnp.matmul(B, B, precision=jax.lax.Precision.HIGHEST)
+            return B / jnp.max(jnp.abs(B)), None
+
+        B, _ = jax.lax.scan(_sq, B / jnp.max(jnp.abs(B)), None, length=30)
+        q = B[:, jnp.argmax(jnp.sum(B * B, axis=0))]
+        q = q / jnp.linalg.norm(q)
+        w, x, y, z = q[0], q[1], q[2], q[3]
+        R = jnp.array(
+            [[1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+              2 * (x * z + w * y)],
+             [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+              2 * (y * z - w * x)],
+             [2 * (x * z - w * y), 2 * (y * z + w * x),
+              1 - 2 * (x * x + y * y)]])
+        r1 = jnp.sum((jnp.matmul(E, R.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+                      - G) ** 2)
+        r2 = jnp.sum((jnp.matmul(E, R,
+                                 precision=jax.lax.Precision.HIGHEST)
+                      - G) ** 2)
+        return jnp.sqrt(jnp.minimum(r1, r2) / n)
+
+    return _ate(traj_t, jnp.asarray(np.asarray(gt_t, np.float32)))
+
+
 def ate_rmse(est_poses, gt_poses, align: str = "se3") -> float:
     """ATE RMSE after trajectory alignment (Horn / Umeyama; the ETH3D
     benchmark metric). `align`: "se3" (rigid), "sim3" (rigid + scale — the

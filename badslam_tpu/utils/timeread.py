@@ -1,0 +1,241 @@
+"""Chronometric device-scalar readout: extract a device scalar WITHOUT any
+device->host transfer by encoding it in program EXECUTION TIME.
+
+Why this exists (PERF_NOTES round 5): on the current axon relay the FIRST
+D2H read issued after a SLAM run either crashes the TPU worker outright
+(~95-130 s into the session flush; observed after chunked runs) or hangs
+beyond any budget tried (>900 s after unchunked runs) — which has eaten
+the long-run ATE / loop-closure evidence three rounds in a row. But
+program SUBMISSION + `jax.block_until_ready` stay healthy after the very
+same runs (the bench liveness probe completes in 0.02-0.06 s). So the one
+channel still open is time: run a program whose duration is proportional
+to one decimal digit of the value, and read the digit off the host clock.
+This is the read-free discipline (CLAUDE.md) taken to its conclusion —
+even the final metrics leave the device without a transfer.
+
+Protocol for v = round(|x| * scale), D decimal digits:
+  probe(x, i, force, reps, W, a): runs d*reps fixed-cost matmul steps in
+    one `lax.while_loop`, where d = digit i of v (i = -1 means v mod 9;
+    force >= 0 overrides d — used for calibration). ONE compile serves
+    every call: i/force/reps are traced.
+  calibrate: time force=0 and force=9 probes -> (offset, unit); grow reps
+    (traced, no recompile) until unit >= the target, so relay submission
+    jitter (~2.5-3 ms under load) is small against half a unit.
+  extract: time each digit; u = (t - offset)/unit; d = round(u); any
+    digit with |u - d| > ambiguity is re-measured (median of 3 times).
+  verify: one extra probe measures v mod 9; 10^k == 1 (mod 9), so the
+    digit sum must match mod 9 — an end-to-end checksum on the decode.
+    On mismatch the whole extraction re-runs once with a doubled unit.
+
+Worst case cost ~ (D + calibration) probes * 9 units + submissions: a few
+seconds — orders below any D2H budget ever observed, and it leaves the
+worker alive (no flush is ever triggered).
+
+Replaces the reference's trivial metric readbacks (cudaMemcpy of final
+trajectory/stats, e.g. bad_slam.cc pose downloads) whose relay equivalent
+is precisely the operation that crashes.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+_PROBE = None
+_PROBE_STATE = None  # (W, a) device operands, created once per process
+
+
+class ChronoError(RuntimeError):
+    pass
+
+
+def _get_probe(size: int):
+    """Build (once) the jitted probe and its device operands.
+
+    The weight matrix and seed activations are ARGUMENTS to the jit (never
+    closure-captured: lowering would read captured device arrays back to
+    the host — the exact degradation this module exists to avoid)."""
+    global _PROBE, _PROBE_STATE
+    import jax
+    import jax.numpy as jnp
+
+    if _PROBE is None:
+        @jax.jit
+        def _probe(x, scale, i, ndig, force, reps, W, a):
+            v = jnp.round(jnp.abs(x).astype(jnp.float32)
+                          * scale.astype(jnp.float32)).astype(jnp.int32)
+            v = jnp.clip(v, 0, jnp.power(jnp.int32(10), ndig) - 1)
+            p = jnp.power(jnp.int32(10),
+                          jnp.maximum(ndig - 1 - i, 0).astype(jnp.int32))
+            d = jnp.where(i >= 0, (v // p) % 10, v % 9)
+            d = jnp.where(force >= 0, force, d).astype(jnp.int32)
+            n = d * reps
+
+            def _cond(c):
+                return c[0] < n
+
+            def _body(c):
+                k, a = c
+                a = jnp.tanh(jnp.matmul(
+                    a, W, precision=jax.lax.Precision.HIGHEST))
+                return k + 1, a
+
+            _, a = jax.lax.while_loop(_cond, _body, (jnp.int32(0), a))
+            return a.sum()
+
+        _PROBE = _probe
+    if _PROBE_STATE is None or _PROBE_STATE[0].shape[0] != size:
+        rng = np.random.default_rng(7)
+        W = jnp.asarray(
+            (0.9 / np.sqrt(size))
+            * rng.standard_normal((size, size)).astype(np.float32))
+        a = jnp.asarray(rng.standard_normal((8, size)).astype(np.float32))
+        _PROBE_STATE = (W, a)
+    return _PROBE, _PROBE_STATE
+
+
+def _timed_call(fn, args, hang_timeout_s: float) -> float:
+    """Submit + block_until_ready on a daemon thread with a bounded join:
+    the block is un-interruptible in C land, so a truly wedged relay must
+    not hang the caller (bench children finish via os._exit after this
+    raises — jax's atexit teardown would join the same wedged state)."""
+    import jax
+
+    box = {}
+
+    def _run():
+        try:
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            box["t"] = time.perf_counter() - t0
+        except Exception as e:  # pragma: no cover - relay faults
+            box["e"] = e
+
+    th = threading.Thread(target=_run, daemon=True)
+    th.start()
+    th.join(hang_timeout_s)
+    if th.is_alive():
+        raise ChronoError(f"probe hung > {hang_timeout_s:.0f}s")
+    if "e" in box:
+        raise ChronoError(f"probe failed: {box['e']!r}")
+    return box["t"]
+
+
+def chronometric_read(x, *, scale: float, digits: int,
+                      unit_ms: float = 12.0,
+                      ambiguity: float = 0.35,
+                      deadline_s: Optional[float] = None,
+                      hang_timeout_s: float = 180.0,
+                      size: int = 256) -> dict:
+    """Read |device scalar x| as round(|x|*scale) with `digits` decimal
+    digits, via the timing channel only. Returns a dict with:
+      value        decoded float (raw / scale)
+      raw          decoded int
+      digits       the decoded digit list (most significant first)
+      checksum_ok  mod-9 digit-sum checksum verdict
+      unit_ms      calibrated per-step cost actually used
+      n_probes     total timed submissions
+      elapsed_s    wall time spent
+    Raises ChronoError on a hung/faulted probe or an expired deadline."""
+    import jax.numpy as jnp
+
+    t_start = time.perf_counter()
+    stop_at = (t_start + deadline_s) if deadline_s is not None else None
+
+    def _left() -> float:
+        return float("inf") if stop_at is None else stop_at - time.perf_counter()
+
+    probe, (W, a) = _get_probe(size)
+    x = jnp.asarray(x)
+    scale_dev = jnp.float32(scale)
+    ndig = jnp.int32(digits)
+    stats = {"n_probes": 0}
+
+    def _t(i: int, force: int, reps: int) -> float:
+        if _left() <= 0:
+            raise ChronoError("chronometric deadline expired")
+        stats["n_probes"] += 1
+        budget = min(hang_timeout_s,
+                     max(30.0, _left())) if stop_at else hang_timeout_s
+        return _timed_call(
+            probe,
+            (x, scale_dev, jnp.int32(i), ndig, jnp.int32(force),
+             jnp.int32(reps), W, a),
+            budget)
+
+    # -- compile + warm (first call pays tracing/compile; time it apart) --
+    compile_s = _t(0, 0, 1)
+
+    def _calibrate(reps: int):
+        """(offset, unit) at this reps; grows reps until unit >= target."""
+        while True:
+            t0s = sorted(_t(0, 0, reps) for _ in range(2))
+            t9 = _t(0, 9, reps)
+            offset = t0s[0]
+            unit = (t9 - offset) / 9.0
+            if unit >= unit_ms / 1000.0:
+                # settle the offset with one more zero sample
+                offset = float(np.median(t0s + [_t(0, 0, reps)]))
+                return offset, unit, reps
+            if unit <= 0:
+                grow = 4.0
+            else:
+                grow = max(2.0, 1.3 * (unit_ms / 1000.0) / unit)
+            reps = int(min(reps * grow + 1, 2e8 / 9))
+            if reps >= 2e8 / 9:
+                raise ChronoError("probe unit failed to reach target cost")
+
+    offset, unit, reps = _calibrate(1)
+
+    def _extract():
+        out = []
+        times = []
+        for i in list(range(digits)) + [-1]:
+            ts = [_t(i, -1, reps)]
+            u = (ts[0] - offset) / unit
+            d = int(round(u))
+            hi = 8 if i < 0 else 9
+            if abs(u - d) > ambiguity or d < 0 or d > hi:
+                ts += [_t(i, -1, reps) for _ in range(2)]
+                u = (float(np.median(ts)) - offset) / unit
+                d = int(round(u))
+            out.append(min(max(d, 0), hi))
+            times.append(round(min(ts), 4))
+        ds, csum = out[:digits], out[-1]
+        ok = (sum(ds) % 9) == csum
+        return ds, csum, ok, times
+
+    ds, csum, ok, times = _extract()
+    if not ok and _left() > 0:
+        # one full retry at double the unit (traced reps: no recompile)
+        offset, unit, reps = _calibrate(reps * 2)
+        ds2, csum2, ok2, times2 = _extract()
+        if ok2 or not ok:
+            ds, csum, ok, times = ds2, csum2, ok2, times2
+
+    raw = int("".join(str(d) for d in ds)) if ds else 0
+    return {
+        "value": raw / scale,
+        "raw": raw,
+        "digits": ds,
+        "checksum": csum,
+        "checksum_ok": bool(ok),
+        "unit_ms": round(unit * 1000.0, 3),
+        "reps": reps,
+        "compile_s": round(compile_s, 3),
+        "probe_times_s": times,
+        "n_probes": stats["n_probes"],
+        "elapsed_s": round(time.perf_counter() - t_start, 3),
+    }
+
+
+def chronometric_read_int(x, *, max_value: int = 999, **kw) -> dict:
+    """Convenience wrapper for small non-negative integer counters
+    (e.g. the device loop-closure counter)."""
+    digits = len(str(max_value))
+    out = chronometric_read(x, scale=1.0, digits=digits, **kw)
+    out["value"] = int(round(out["value"]))
+    return out

@@ -599,6 +599,56 @@ def _longrun_child() -> None:
                 time.perf_counter() - t0, 3)
     except Exception as e:
         long_run["liveness_error"] = repr(e)[:120]
+    # -------- chronometric reads: the read-free evidence channel --------
+    # Program submission + block_until_ready stay healthy after runs that
+    # wedge every D2H (PERF_NOTES round 5: post-run first-reads crash the
+    # worker after chunked runs and hang >900 s after unchunked ones), so
+    # the ATE and the closure counter leave the device through the TIMING
+    # channel first (utils/timeread.py). On a clean decode the child EXITS
+    # WITHOUT ISSUING ANY D2H: the session flush is never triggered, the
+    # worker stays alive, and the parent's follow-on sections inherit a
+    # healthy relay. BENCH_D2H_VERIFY=1 still runs the old read path
+    # afterwards as a cross-check.
+    chrono_ok = False
+    if (os.environ.get("BENCH_CHRONO_READS", "1") != "0"
+            and "liveness_error" not in long_run):
+        from badslam_tpu import synthetic as syn
+        from badslam_tpu.utils import timeread
+        t0 = time.perf_counter()
+        try:
+            c = timeread.chronometric_read_int(
+                slam2._closure_count_dev, max_value=999,
+                deadline_s=max(30.0, _left(margin=150.0)))
+            long_run["loop_closures"] = c["value"]
+            long_run["loop_closures_read"] = {
+                "channel": "chronometric",
+                "checksum_ok": c["checksum_ok"],
+                "unit_ms": c["unit_ms"]}
+            _set_best(long_run)
+            gt_t2 = np.array([np.asarray(p.t, np.float32) for p in gt2])
+            n_tr = min(slam2.traj_q.shape[0], len(gt_t2))
+            a = timeread.chronometric_read(
+                syn.ate_rmse_device(slam2.traj_t[:n_tr], gt_t2[:n_tr]),
+                scale=1e7, digits=8,
+                deadline_s=max(30.0, _left(margin=120.0)))
+            long_run["ate_rmse_m"] = a["value"]
+            long_run["ate_read"] = {
+                "channel": "chronometric",
+                "checksum_ok": a["checksum_ok"],
+                "unit_ms": a["unit_ms"],
+                "raw": a["raw"]}
+            long_run["chrono_read_s"] = round(time.perf_counter() - t0, 3)
+            chrono_ok = bool(c["checksum_ok"] and a["checksum_ok"])
+        except Exception as e:
+            long_run["chrono_error"] = repr(e)[:160]
+            long_run["chrono_read_s"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(long_run), flush=True)
+        _set_best(long_run)
+    if chrono_ok and os.environ.get("BENCH_D2H_VERIFY", "0") != "1":
+        _DONE = True
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)  # exit WITHOUT triggering the D2H session flush
     # A short quiesce before the first D2H: the read triggers a one-time
     # session-wide flush (PERF_NOTES), and every r04 sentinel issued hot on
     # the run's heels crashed the worker ~100 s in; give the relay a
@@ -741,6 +791,37 @@ def _run_longrun_subprocess(budget_s: float) -> dict:
     return best
 
 
+def _run_accuracy_subprocess(budget_s: float) -> dict:
+    """Accuracy-evidence fallback child: the SAME long-run pipeline at
+    BENCH_ACCURACY_FRAMES (default 240) with steady-frame chunking OFF and
+    BA timing OFF. This is the SECOND chance at ATE/closure evidence when
+    the 720-frame child dies mid-run (its primary evidence channel — the
+    chronometric reads — never fires if the run itself crashes). A smaller
+    unchunked run is the lowest-risk recipe we have: both post-run D2H
+    modes are broken on this relay (chunked runs: worker crash ~100 s into
+    the flush; unchunked: hang >900 s — measured 2026-08-19), but the
+    chronometric channel needs only a LIVE worker, which short unchunked
+    runs reliably leave behind. Provenance fields keep the recovered
+    numbers from being mistaken for the 720-frame run's."""
+    env_over = {
+        "BENCH_LONGRUN_FRAMES": os.environ.get("BENCH_ACCURACY_FRAMES",
+                                               "240"),
+        "BENCH_LONGRUN_CHUNKING": "0",
+        "BENCH_LONGRUN_BA_TIMING": "0",
+    }
+    old = {k: os.environ.get(k) for k in env_over}
+    os.environ.update(env_over)
+    try:
+        out = _run_longrun_subprocess(budget_s)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return out
+
+
 def main() -> None:
     global _DONE
 
@@ -846,15 +927,60 @@ def main() -> None:
     headline["long_run"] = long_run
     _set_best(headline)
 
+    # Accuracy fallback (round-4 verdict #2: no long_run.ate_rmse_m has
+    # EVER landed in a BENCH json): if the 720-frame child lost its reads
+    # to the post-run worker crash and budget remains, recover ATE +
+    # closures from a smaller UNCHUNKED run whose flush survives, with
+    # explicit provenance fields.
+    remaining = deadline - time.monotonic() - 60.0
+    if ("ate_rmse_m" not in long_run
+            and os.environ.get("BENCH_ACCURACY_FALLBACK", "1") != "0"
+            and remaining >= min_attempt_s):
+        acc = _run_accuracy_subprocess(remaining)
+        for k in ("ate_rmse_m", "loop_closures"):
+            if k in acc and k not in long_run:
+                long_run[k] = acc[k]
+                long_run[f"{k}_provenance"] = {
+                    "frames": acc.get("frames"),
+                    "chunking": False,
+                    "note": "accuracy fallback child (unchunked)",
+                }
+        long_run["accuracy_run"] = {
+            k: acc.get(k) for k in
+            ("frames", "fps_total", "ate_rmse_m", "loop_closures",
+             "sentinel_read_s", "error", "read_error", "sentinel_error")
+            if k in acc}
+        _set_best(headline)
+
     # -------- parent reads (degradation tolerated from here on) --------
     # Guarded AND bounded: the final enriched line must print even if the
     # TPU worker died mid-run. The ATE itself is computed on device; only
     # 11 floats are read, inside the remaining budget.
     try:
-        read_budget = max(20.0, min(300.0,
-                                    deadline - time.monotonic() - 45.0))
-        slam_ate = (round(_ate_of(slam1, gt1, timeout_s=read_budget), 8)
-                    if slam1 is not None else -1.0)
+        if slam1 is None:
+            slam_ate = -1.0
+        elif os.environ.get("BENCH_CHRONO_READS", "1") != "0":
+            # Read-free channel first (utils/timeread.py): the headline
+            # ATE arrives via program timing, so the parent never issues
+            # the D2H session flush that killed this read in r03/r04.
+            from badslam_tpu import synthetic as syn
+            from badslam_tpu.utils import timeread
+            gt_t1 = np.array([np.asarray(p.t, np.float32) for p in gt1])
+            n_tr = min(slam1.traj_q.shape[0], len(gt_t1))
+            a = timeread.chronometric_read(
+                syn.ate_rmse_device(slam1.traj_t[:n_tr], gt_t1[:n_tr]),
+                scale=1e7, digits=8,
+                deadline_s=max(30.0,
+                               deadline - time.monotonic() - 45.0))
+            slam_ate = a["value"]
+            headline["slam_ate_read"] = {
+                "channel": "chronometric",
+                "checksum_ok": a["checksum_ok"],
+                "unit_ms": a["unit_ms"]}
+        else:
+            read_budget = max(20.0, min(
+                300.0, deadline - time.monotonic() - 45.0))
+            slam_ate = round(_ate_of(slam1, gt1, timeout_s=read_budget), 8)
     except Exception as e:
         slam_ate = f"read failed: {repr(e)[:120]}"
     headline["slam_ate_rmse_m"] = slam_ate
