@@ -1,3 +1,4 @@
+import pytest
 """Steady-frame chunking: the fused between-keyframes chunk program
 (frontend._chunk_frames_fn) must reproduce the per-frame steady path.
 
@@ -43,6 +44,7 @@ def _ate(slam, gt):
     return syn.ate_rmse(est, gt)
 
 
+@pytest.mark.slow
 def test_chunked_matches_per_frame_sequential_ba():
     ref, gt = _run(chunking=False, parallel_ba=False)
     chk, _ = _run(chunking=True, parallel_ba=False)

@@ -1,3 +1,4 @@
+import pytest
 """Full-pipeline integration test: synthetic TUM dataset -> CLI -> ATE.
 
 The reference has no such test (SURVEY.md §4 "What's absent"); it validates
@@ -16,6 +17,7 @@ from badslam_tpu.cli import main
 from badslam_tpu.io.dataset import load_tum_trajectory
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     path = str(tmp_path / "dataset")
     cam = syn.default_camera(160, 120)
@@ -58,6 +60,7 @@ def test_cli_end_to_end(tmp_path):
     assert abs(sim3["scale"] - 1.0) < 0.05
 
 
+@pytest.mark.slow
 def test_save_timings_rows(tmp_path):
     """--save_timings streams per-BA-run rows (reference SetSaveTimings,
     direct_ba_alternating.cc:630-688): fused rows by default, per-stage

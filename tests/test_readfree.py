@@ -65,6 +65,7 @@ def forbid_readbacks(monkeypatch):
     yield
 
 
+@pytest.mark.slow
 def test_steady_loop_is_readback_free(forbid_readbacks, monkeypatch):
     # Emulate the axon relay's gating: the opt-in sync_* reads must stay
     # off, and everything that remains must be read-free.
@@ -132,6 +133,7 @@ def test_forbid_readbacks_fixture_actually_fires(forbid_readbacks):
         np.asarray(x)
 
 
+@pytest.mark.slow
 def test_loop_closure_application_is_readback_free(forbid_readbacks,
                                                    monkeypatch):
     """The closure path (refinement + gates + device pose graph +

@@ -111,6 +111,7 @@ def test_fake_injection_raises_degraded(tmp_path, monkeypatch):
     slam.close()
 
 
+@pytest.mark.slow
 def test_cli_recovery_restarts_and_completes(tmp_path):
     """End-to-end recovery (round-3 verdict #5): a degradation injected
     mid-run makes the CLI save state and exec a fresh process that resumes
