@@ -510,23 +510,33 @@ def ate_moments_device(traj_t, gt_t):
     long_run.read_error) — and an 11-float moments read is as cheap as the
     former one-scalar read while keeping the device program crash-proof
     reductions."""
+    global _ATE_MOMENTS_FN
     import jax
 
-    @jax.jit
-    def _m(est, gt):
-        est = est.astype(jnp.float32)
-        gt = gt.astype(jnp.float32)
-        mu_e = est.mean(0)
-        mu_g = gt.mean(0)
-        E, G = est - mu_e, gt - mu_g
-        # Full-f32 matmul, NOT the TPU default (bf16 passes): the host
-        # half subtracts 2*sum(sv(C)) from se+sg — a ~1e3x cancellation
-        # at bench trajectory scales, where bf16 moment error inflated
-        # the reported ATE ~8x (round-4 bench: 8.2e-4 vs 1.0e-4 true).
-        C = jnp.matmul(E.T, G, precision=jax.lax.Precision.HIGHEST)
-        return C, (E * E).sum(), (G * G).sum()
+    if _ATE_MOMENTS_FN is None:
+        # Module-level singleton: a fresh @jax.jit per call would RETRACE
+        # (and re-fetch the compile) every invocation — the warm-before-run
+        # discipline (bench.py, utils/timeread.py) needs the post-run call
+        # to hit the exact executable compiled pre-run.
+        @jax.jit
+        def _m(est, gt):
+            est = est.astype(jnp.float32)
+            gt = gt.astype(jnp.float32)
+            mu_e = est.mean(0)
+            mu_g = gt.mean(0)
+            E, G = est - mu_e, gt - mu_g
+            # Full-f32 matmul, NOT the TPU default (bf16 passes): the host
+            # half subtracts 2*sum(sv(C)) from se+sg — a ~1e3x cancellation
+            # at bench trajectory scales, where bf16 moment error inflated
+            # the reported ATE ~8x (round-4 bench: 8.2e-4 vs 1.0e-4 true).
+            C = jnp.matmul(E.T, G, precision=jax.lax.Precision.HIGHEST)
+            return C, (E * E).sum(), (G * G).sum()
 
-    return _m(traj_t, jnp.asarray(np.asarray(gt_t, np.float32)))
+        _ATE_MOMENTS_FN = _m
+    return _ATE_MOMENTS_FN(traj_t, jnp.asarray(np.asarray(gt_t, np.float32)))
+
+
+_ATE_MOMENTS_FN = None
 
 
 def ate_rmse_from_moments(C, se, sg, n: int) -> float:
@@ -565,7 +575,12 @@ def ate_rmse_device(traj_t, gt_t):
     Equivalent of the reference's TUM/ETH3D ATE evaluation protocol
     (reference README.md benchmark workflow); matches
     `ate_rmse(align="se3")` to f32 precision (tested)."""
+    global _ATE_DEVICE_FN
     import jax
+
+    if _ATE_DEVICE_FN is not None:
+        return _ATE_DEVICE_FN(traj_t, jnp.asarray(np.asarray(gt_t,
+                                                             np.float32)))
 
     @jax.jit
     def _ate(est, gt):
@@ -614,7 +629,13 @@ def ate_rmse_device(traj_t, gt_t):
                       - G) ** 2)
         return jnp.sqrt(jnp.minimum(r1, r2) / n)
 
+    # Module-level singleton (see ate_moments_device): the post-run call
+    # must reuse the executable the pre-run warmup compiled.
+    _ATE_DEVICE_FN = _ate
     return _ate(traj_t, jnp.asarray(np.asarray(gt_t, np.float32)))
+
+
+_ATE_DEVICE_FN = None
 
 
 def ate_rmse(est_poses, gt_poses, align: str = "se3") -> float:

@@ -525,6 +525,30 @@ def _longrun_child() -> None:
 
     _apply_platform_override()
     enable_compile_cache()
+    # Pre-pay the chronometric channel BEFORE the run (round-5 TPU
+    # post-mortem: the first chrono attempt compiled its probe (twice: f32
+    # + i32), compiled the on-device ATE program, and calibrated — all
+    # post-run, through the relay, ~minutes each — and expired a 1243 s
+    # deadline. Warm + calibrate now, at exact shapes, while the relay is
+    # healthy; the post-run readout is then pure warm execution (a few
+    # seconds). No device reads happen here.
+    chrono_prep = None
+    if os.environ.get("BENCH_CHRONO_READS", "1") != "0":
+        from badslam_tpu import synthetic as syn
+        from badslam_tpu.utils import timeread
+        t0 = time.perf_counter()
+        try:
+            info = timeread.chrono_warmup(
+                unit_ms=float(os.environ.get("BENCH_CHRONO_UNIT_MS", 25)),
+                deadline_s=max(60.0, _left(margin=600.0)))
+            z = np.zeros((LONGRUN_FRAMES, 3), np.float32)
+            jax.block_until_ready(syn.ate_rmse_device(jnp.asarray(z), z))
+            info["ate_program_warm_s"] = round(
+                time.perf_counter() - t0 - info["elapsed_s"], 3)
+            chrono_prep = info
+        except Exception as e:
+            chrono_prep = {"error": repr(e)[:160],
+                           "elapsed_s": round(time.perf_counter() - t0, 3)}
     # Sentinel uploaded AND READ at t=0, before ANY compiled program
     # (round-5 discovery, tools/probe.py read-first 2026-08-19): a first
     # D2H issued before the session has program state costs ~5 s, does
@@ -614,8 +638,18 @@ def _longrun_child() -> None:
             and "liveness_error" not in long_run):
         from badslam_tpu import synthetic as syn
         from badslam_tpu.utils import timeread
+        long_run["chrono_prep"] = chrono_prep
         t0 = time.perf_counter()
         try:
+            # Decode check on a KNOWN constant through the identical
+            # path/scale as the ATE read: a wrong decode here brands the
+            # channel (not the metric) as lying for this session.
+            st = timeread.chrono_selftest(
+                deadline_s=max(30.0, _left(margin=240.0)))
+            long_run["chrono_selftest"] = {
+                "ok": st["ok"], "raw": st["raw"], "want": st["want"],
+                "unit_ms": st["unit_ms"], "calibration": st["calibration"],
+                "elapsed_s": st["elapsed_s"]}
             c = timeread.chronometric_read_int(
                 slam2._closure_count_dev, max_value=999,
                 deadline_s=max(30.0, _left(margin=150.0)))
@@ -638,7 +672,8 @@ def _longrun_child() -> None:
                 "unit_ms": a["unit_ms"],
                 "raw": a["raw"]}
             long_run["chrono_read_s"] = round(time.perf_counter() - t0, 3)
-            chrono_ok = bool(c["checksum_ok"] and a["checksum_ok"])
+            chrono_ok = bool(st["ok"] and c["checksum_ok"]
+                             and a["checksum_ok"])
         except Exception as e:
             long_run["chrono_error"] = repr(e)[:160]
             long_run["chrono_read_s"] = round(time.perf_counter() - t0, 3)
@@ -869,6 +904,26 @@ def main() -> None:
 
     if tuner.get(tuner.backend_key(f"bilateral_impl_{HEIGHT}x{WIDTH}")) is None:
         autotune_preprocess(HEIGHT, WIDTH)
+
+    # Pre-pay the parent's own chrono channel (headline ATE leaves via
+    # program timing too): probe compiles + calibration + the on-device
+    # ATE executable at the headline trajectory shape, all BEFORE the
+    # timed sections. Populates the persistent compile cache, so the
+    # long-run child's identical warmup is a cache fetch. No reads.
+    if os.environ.get("BENCH_CHRONO_READS", "1") != "0":
+        import jax
+        import jax.numpy as jnp
+
+        from badslam_tpu.utils import timeread
+        try:
+            timeread.chrono_warmup(
+                unit_ms=float(os.environ.get("BENCH_CHRONO_UNIT_MS", 25)),
+                deadline_s=max(60.0, deadline - time.monotonic() - 900.0))
+            z = np.zeros((SLAM_FRAMES, 3), np.float32)
+            jax.block_until_ready(syn.ate_rmse_device(jnp.asarray(z), z))
+        except Exception as e:
+            print(f"chrono warmup failed: {e!r}", file=sys.stderr,
+                  flush=True)
 
     # ALL timed sections of THIS process run before ANY device->host value
     # read: one read degrades the relay session ~1000x for the remainder

@@ -90,3 +90,46 @@ def test_chronometric_deadline_raises():
         timeread.chronometric_read(
             jnp.float32(1.0), scale=1.0, digits=3, unit_ms=25.0,
             size=64, deadline_s=-1.0)
+
+
+def test_chrono_warmup_then_reuse():
+    """chrono_warmup pre-pays compiles + calibration; a later read reuses
+    the stored calibration (offset re-zeroed only) — the bench's
+    warm-before-run discipline after the r05 post-run-compile expiry."""
+    import jax.numpy as jnp
+
+    old = timeread._CALIB
+    try:
+        info = timeread.chrono_warmup(unit_ms=25.0, size=64,
+                                      deadline_s=240.0)
+        assert info["unit_ms"] >= 25.0
+        assert timeread._CALIB is not None
+        out = None
+        for _ in range(2):  # contended 1-core box: one re-read allowed
+            out = timeread.chronometric_read(
+                jnp.float32(1.234e-4), scale=1e6, digits=7,
+                unit_ms=25.0, size=64, deadline_s=120.0)
+            if out["raw"] == 123 and out["checksum_ok"]:
+                break
+        assert out["raw"] == 123, out
+        # first attempt reuses the warmup calibration; the checksum-retry
+        # fallback may legitimately re-calibrate ("fresh")
+        assert out["calibration"] in ("warmup", "fresh")
+    finally:
+        timeread._CALIB = old
+
+
+def test_chrono_selftest_known_constant():
+    old = timeread._CALIB
+    try:
+        timeread._CALIB = None
+        st = None
+        for _ in range(2):
+            st = timeread.chrono_selftest(size=64, unit_ms=25.0,
+                                          deadline_s=240.0)
+            if st["ok"]:
+                break
+        assert st["ok"], st
+        assert st["raw"] == st["want"] == 2718
+    finally:
+        timeread._CALIB = old
