@@ -700,8 +700,17 @@ def cmd_wedge_slam(n: int, flags: set) -> int:
         # (PERF_NOTES round 5): cheap, leaves the canary healthy, makes
         # post-run reads instant — but chunked heavy runs after it crashed
         # the worker 2/2 on 2026-08-19, hence this bisection flag.
-        v, dt = timed_read(sentinel, timeout_s=240)
-        out["t0_read_s"] = round(dt, 3)
+        try:
+            to = float(os.environ.get("PROBE_TIMEOUT", 240))
+            v, dt = timed_read(sentinel, timeout_s=to)
+            out["t0_read_s"] = round(dt, 3)
+        except Exception as e:
+            # Environmental (relay recovering from an earlier crash):
+            # report and bail rather than running the ladder blind.
+            out["t0_read_error"] = repr(e)[:120]
+            print(json.dumps(out), flush=True)
+            sys.stdout.flush()
+            os._exit(0)
 
     slam = BadSlam(cfg, video)
     t0 = time.perf_counter()
