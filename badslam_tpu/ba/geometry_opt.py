@@ -51,12 +51,27 @@ from badslam_tpu.ops.preprocess import normal_z
 _KF_BATCH = 8
 
 
+_warned_chunk1: set = set()
+
+
 def _chunk_of(k: int) -> int:
     """Largest power-of-two divisor of k, capped at _KF_BATCH (stacks have
-    pow-2 capacity in the product path; odd test stacks fall back to 1)."""
+    pow-2 capacity in the product path; odd test stacks fall back to 1).
+    A chunk of 1 silently restores the per-keyframe surfel-array re-read
+    pattern the chunking exists to kill (~100x HBM traffic, PERF_NOTES
+    round 4), so any k>1 falling back to 1 is logged once per size."""
     c = 1
     while c < _KF_BATCH and k % (c * 2) == 0:
         c *= 2
+    if c == 1 and k > 1 and k not in _warned_chunk1:
+        _warned_chunk1.add(k)
+        from badslam_tpu.utils.logging import warning
+
+        warning(
+            "BA stage scans over a non-pow-2 keyframe stack (K=%d): chunk "
+            "size falls back to 1, re-reading the surfel arrays once per "
+            "keyframe. Pad the stack to a power of two (the product path "
+            "does) to restore chunked batching.", k)
     return c
 
 

@@ -3,6 +3,8 @@
 
 import logging
 
+import pytest
+
 from badslam_tpu.utils.watchdog import DispatchWatch
 
 
@@ -77,6 +79,59 @@ def test_canary_probe_healthy_on_cpu():
     from badslam_tpu.utils.watchdog import probe_degradation
 
     assert probe_degradation() is False
+
+
+def test_quiet_window_defers_but_never_loses_real_degradation(monkeypatch):
+    """VERDICT r04 weak #6: after a FALSE trip (canary healthy), the 30 s
+    canary rate-limit suppresses re-checks — a REAL degradation arriving
+    inside that window must still be confirmed at the first trip AFTER the
+    window, never silently dropped."""
+    import types
+
+    import pytest
+
+    import badslam_tpu.frontend as fe
+    from badslam_tpu.frontend import BadSlam
+    from badslam_tpu.utils import watchdog as wd
+    from badslam_tpu.utils.watchdog import DegradedSessionError
+
+    clock = {"t": 1000.0}
+    monkeypatch.setattr(
+        fe, "time", types.SimpleNamespace(perf_counter=lambda: clock["t"]))
+
+    canary_degraded = {"v": False}
+    probes = []
+
+    def fake_probe(*a, **k):
+        probes.append(clock["t"])
+        return canary_degraded["v"]
+
+    monkeypatch.setattr(wd, "probe_degradation", fake_probe)
+    monkeypatch.delenv("BADSLAM_FAKE_DEGRADE_AT", raising=False)
+
+    self = types.SimpleNamespace(_last_canary_check=-1e9)
+    watch = _watch()
+    for _ in range(5):
+        watch.sample(0.001)
+
+    # 1) false trip: canary healthy -> re-armed, no raise, window opens.
+    BadSlam._check_degradation(self, watch, tripped=True, last_frame_index=7)
+    assert probes == [1000.0] and not watch.tripped
+
+    # 2) REAL degradation 10 s later (inside the window): suppressed —
+    # no canary run, no raise — but the watch is re-armed, not disarmed.
+    canary_degraded["v"] = True
+    clock["t"] += 10.0
+    BadSlam._check_degradation(self, watch, tripped=True, last_frame_index=8)
+    assert probes == [1000.0] and not watch.tripped
+
+    # 3) first trip after the window expires: canary runs and confirms.
+    clock["t"] += 25.0
+    with pytest.raises(DegradedSessionError) as ei:
+        BadSlam._check_degradation(self, watch, tripped=True,
+                                   last_frame_index=9)
+    assert len(probes) == 2
+    assert ei.value.last_frame_index == 9
 
 
 def test_fake_injection_raises_degraded(tmp_path, monkeypatch):
