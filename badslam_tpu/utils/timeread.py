@@ -196,6 +196,17 @@ def _calibrate(_t, unit_ms: float, start_reps: int = 1,
             # settle the offset with one more zero sample
             offset = float(np.median(t0s + [_t(0, 0, reps)]))
             return offset, unit, reps
+        if reps >= 100_000 and t9 < 0.05:
+            # A 900k-step serial matmul chain CANNOT complete in 50 ms:
+            # the relay is acking `block_until_ready` at enqueue without
+            # waiting for execution (async-ack build, measured 2026-08-20:
+            # 1e6-step chains "block" in 0.1 ms, zero backpressure). No
+            # execution-time channel exists on such a relay — bail in
+            # milliseconds so callers fall to the D2H path immediately
+            # instead of growing reps to the cap for minutes.
+            raise ChronoError(
+                f"relay acks blocks without executing (t9={t9 * 1e3:.2f}ms "
+                f"at reps={reps}); timing channel unusable")
         if reps >= _MAX_REPS:
             raise ChronoError(
                 f"probe unit not measurable at reps cap (unit="

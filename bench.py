@@ -268,7 +268,16 @@ def bench_slam(cam, scene):
         dt_pf, _ = one_pass(False)
         runs_pf.append(SLAM_FRAMES / dt_pf)
     med = lambda xs: float(np.median(xs))
-    return med(runs_ch), med(runs_pf), runs_ch, runs_pf, slam, gt
+
+    def repass():
+        """One more chunked pass, for re-timing AFTER the parent's first
+        read: on an async-ack relay the pre-read FPS above measures
+        submission throughput; post-read, blocks are true syncs and this
+        pass measures execution."""
+        dt, _ = one_pass(True)
+        return SLAM_FRAMES / dt
+
+    return med(runs_ch), med(runs_pf), runs_ch, runs_pf, slam, gt, repass
 
 
 def bench_slam_scaling() -> dict:
@@ -701,6 +710,29 @@ def _longrun_child() -> None:
             sentinel, retries=0,
             timeout_s=max(30.0, min(600.0, _left(margin=120.0))))
         long_run["sentinel_read_s"] = round(time.perf_counter() - t0, 3)
+        # Post-first-read the relay enters TRUE-sync mode
+        # (tools/probe_exec_semantics.py, 2026-08-20: pre-read, blocks ack
+        # at enqueue — a 1e6-step chain "blocks" in 0.1 ms; post-read,
+        # blocks scale linearly with work and reads are instant). This is
+        # the ONLY regime on an async-ack relay build where host clocks
+        # measure execution, so re-time the fused BA iteration here and
+        # report it as the trustworthy end-to-end number (round-4 verdict
+        # #5: the pre-read profile_mfu rows were flagged unreliable).
+        if os.environ.get("BENCH_SYNC_RETIME", "1") != "0":
+            try:
+                ba = slam2.direct_ba
+                kw = dict(max_iterations=1,
+                          increase_ba_iteration_count=False)
+                ba.bundle_adjustment(**kw)   # warm variant + drain queue
+                jax.block_until_ready(ba.keyframes.q)
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    ba.bundle_adjustment(**kw)
+                jax.block_until_ready(ba.keyframes.q)
+                long_run["ba_iteration_ms_sync"] = round(
+                    1e3 * (time.perf_counter() - t0) / 3, 3)
+            except Exception as e:
+                long_run["sync_retime_error"] = repr(e)[:120]
     except Exception as e:
         long_run["sentinel_error"] = repr(e)[:120]
         long_run["sentinel_error_s"] = round(time.perf_counter() - t0, 3)
@@ -939,11 +971,12 @@ def main() -> None:
     except Exception as e:
         odo_fps, errors["odometry"] = 0.0, repr(e)[:200]
     try:
-        slam_fps, slam_fps_pf, runs_ch, runs_pf, slam1, gt1 = bench_slam(
-            cam, scene)
+        (slam_fps, slam_fps_pf, runs_ch, runs_pf, slam1, gt1,
+         slam_repass) = bench_slam(cam, scene)
     except Exception as e:
         slam_fps, slam_fps_pf, runs_ch, runs_pf, slam1, gt1 = (
             0.0, 0.0, [], [], None, None)
+        slam_repass = None
         errors["slam"] = repr(e)[:200]
 
     # Print the HEADLINE line IMMEDIATELY (round-4 verdict #1a): the driver
@@ -1012,33 +1045,58 @@ def main() -> None:
     # TPU worker died mid-run. The ATE itself is computed on device; only
     # 11 floats are read, inside the remaining budget.
     try:
+        slam_ate = None
         if slam1 is None:
             slam_ate = -1.0
         elif os.environ.get("BENCH_CHRONO_READS", "1") != "0":
             # Read-free channel first (utils/timeread.py): the headline
             # ATE arrives via program timing, so the parent never issues
-            # the D2H session flush that killed this read in r03/r04.
-            from badslam_tpu import synthetic as syn
-            from badslam_tpu.utils import timeread
-            gt_t1 = np.array([np.asarray(p.t, np.float32) for p in gt1])
-            n_tr = min(slam1.traj_q.shape[0], len(gt_t1))
-            a = timeread.chronometric_read(
-                syn.ate_rmse_device(slam1.traj_t[:n_tr], gt_t1[:n_tr]),
-                scale=1e7, digits=8,
-                deadline_s=max(30.0,
-                               deadline - time.monotonic() - 45.0))
-            slam_ate = a["value"]
-            headline["slam_ate_read"] = {
-                "channel": "chronometric",
-                "checksum_ok": a["checksum_ok"],
-                "unit_ms": a["unit_ms"]}
-        else:
+            # the D2H session flush that killed this read in r03/r04. On
+            # an async-ack relay build (blocks ack at enqueue, measured
+            # 2026-08-20) this raises ChronoError in milliseconds and the
+            # D2H path below takes over — on that build the post-run
+            # first read is slow (~390 s one-time flush) but completes.
+            try:
+                from badslam_tpu import synthetic as syn
+                from badslam_tpu.utils import timeread
+                gt_t1 = np.array([np.asarray(p.t, np.float32)
+                                  for p in gt1])
+                n_tr = min(slam1.traj_q.shape[0], len(gt_t1))
+                a = timeread.chronometric_read(
+                    syn.ate_rmse_device(slam1.traj_t[:n_tr],
+                                        gt_t1[:n_tr]),
+                    scale=1e7, digits=8,
+                    deadline_s=max(30.0,
+                                   deadline - time.monotonic() - 45.0))
+                slam_ate = a["value"]
+                headline["slam_ate_read"] = {
+                    "channel": "chronometric",
+                    "checksum_ok": a["checksum_ok"],
+                    "unit_ms": a["unit_ms"]}
+            except Exception as e:
+                headline["slam_ate_chrono_error"] = repr(e)[:120]
+        if slam_ate is None:
             read_budget = max(20.0, min(
-                300.0, deadline - time.monotonic() - 45.0))
+                600.0, deadline - time.monotonic() - 45.0))
             slam_ate = round(_ate_of(slam1, gt1, timeout_s=read_budget), 8)
+            headline["slam_ate_read"] = {"channel": "d2h"}
     except Exception as e:
         slam_ate = f"read failed: {repr(e)[:120]}"
     headline["slam_ate_rmse_m"] = slam_ate
+
+    # True-sync FPS re-pass (async-ack relay builds only meaningful after
+    # the first read above flipped the session to sync mode): one more
+    # 60-frame chunked pass whose blocks now wait for execution. Reported
+    # NEXT TO the submission-rate headline, never replacing it — the pair
+    # bounds the real number from both sides.
+    if (slam_repass is not None and isinstance(slam_ate, float)
+            and headline.get("slam_ate_read", {}).get("channel") == "d2h"
+            and os.environ.get("BENCH_SYNC_RETIME", "1") != "0"
+            and deadline - time.monotonic() > 180.0):
+        try:
+            headline["slam_fps_sync"] = round(slam_repass(), 2)
+        except Exception as e:
+            headline["slam_fps_sync_error"] = repr(e)[:120]
 
     print(json.dumps(headline), flush=True)
     _set_best(headline)
