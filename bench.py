@@ -710,29 +710,6 @@ def _longrun_child() -> None:
             sentinel, retries=0,
             timeout_s=max(30.0, min(600.0, _left(margin=120.0))))
         long_run["sentinel_read_s"] = round(time.perf_counter() - t0, 3)
-        # Post-first-read the relay enters TRUE-sync mode
-        # (tools/probe_exec_semantics.py, 2026-08-20: pre-read, blocks ack
-        # at enqueue — a 1e6-step chain "blocks" in 0.1 ms; post-read,
-        # blocks scale linearly with work and reads are instant). This is
-        # the ONLY regime on an async-ack relay build where host clocks
-        # measure execution, so re-time the fused BA iteration here and
-        # report it as the trustworthy end-to-end number (round-4 verdict
-        # #5: the pre-read profile_mfu rows were flagged unreliable).
-        if os.environ.get("BENCH_SYNC_RETIME", "1") != "0":
-            try:
-                ba = slam2.direct_ba
-                kw = dict(max_iterations=1,
-                          increase_ba_iteration_count=False)
-                ba.bundle_adjustment(**kw)   # warm variant + drain queue
-                jax.block_until_ready(ba.keyframes.q)
-                t0 = time.perf_counter()
-                for _ in range(3):
-                    ba.bundle_adjustment(**kw)
-                jax.block_until_ready(ba.keyframes.q)
-                long_run["ba_iteration_ms_sync"] = round(
-                    1e3 * (time.perf_counter() - t0) / 3, 3)
-            except Exception as e:
-                long_run["sync_retime_error"] = repr(e)[:120]
     except Exception as e:
         long_run["sentinel_error"] = repr(e)[:120]
         long_run["sentinel_error_s"] = round(time.perf_counter() - t0, 3)
@@ -764,6 +741,51 @@ def _longrun_child() -> None:
                     timeout_s=max(20.0, min(300.0, _left(margin=30.0)))), 6)
     except Exception as e:
         long_run.setdefault("read_error", repr(e)[:120])
+    # Post-first-read the relay enters TRUE-sync mode
+    # (tools/probe_exec_semantics.py, 2026-08-20: pre-read, blocks ack at
+    # enqueue — a 1e6-step chain "blocks" in 0.1 ms; post-read, blocks
+    # scale linearly with work and reads are instant). This is the ONLY
+    # regime on an async-ack relay build where host clocks measure
+    # execution, so re-time the fused BA iteration here and report it as
+    # the trustworthy end-to-end number (round-4 verdict #5: the pre-read
+    # profile_mfu rows were flagged unreliable). Runs LAST — after every
+    # evidence read — so a hang here costs nothing already banked; the
+    # block runs on a daemon thread with a bounded join for that reason.
+    if ("sentinel_read" in long_run
+            and os.environ.get("BENCH_SYNC_RETIME", "1") != "0"
+            and _left(margin=60.0) > 30.0):
+        def _block_bounded(x, timeout_s):
+            box = {}
+
+            def _b():
+                try:
+                    import jax as _jax
+                    _jax.block_until_ready(x)
+                    box["ok"] = True
+                except Exception as ex:  # pragma: no cover
+                    box["e"] = ex
+
+            th = threading.Thread(target=_b, daemon=True)
+            th.start()
+            th.join(timeout_s)
+            if th.is_alive():
+                raise TimeoutError(f"block hung > {timeout_s:.0f}s")
+            if "e" in box:
+                raise box["e"]
+
+        try:
+            ba = slam2.direct_ba
+            kw = dict(max_iterations=1, increase_ba_iteration_count=False)
+            ba.bundle_adjustment(**kw)      # warm variant + drain queue
+            _block_bounded(ba.keyframes.q, 60.0)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                ba.bundle_adjustment(**kw)
+            _block_bounded(ba.keyframes.q, 120.0)
+            long_run["ba_iteration_ms_sync"] = round(
+                1e3 * (time.perf_counter() - t0) / 3, 3)
+        except Exception as e:
+            long_run["sync_retime_error"] = repr(e)[:120]
     print(json.dumps(long_run), flush=True)
     _set_best(long_run)
     _DONE = True

@@ -26,6 +26,7 @@ correctness cross-checks run in a CPU-interpret pass first.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -187,6 +188,34 @@ def main() -> None:
     import jax
 
     results = {"backend": jax.default_backend()}
+    if "--sync-first" in sys.argv:
+        # Async-ack relay builds (PERF_NOTES 2026-08-20) ack every block
+        # at enqueue, making _bench times meaningless. Reading one
+        # PROGRAM OUTPUT flips the session into TRUE-sync mode (post-read,
+        # blocks scale linearly with work) at the cost of the one-time
+        # session flush (~390 s measured) — mandatory for honest A/B
+        # numbers on such builds. Bounded join: the read is
+        # un-interruptible in C land.
+        import threading
+
+        import jax.numpy as jnp
+
+        x = jnp.asarray(np.float32(1.0))
+        box = {}
+
+        def _r():
+            try:
+                box["v"] = float(jax.jit(lambda v: v + 1.0)(x))
+            except Exception as e:  # pragma: no cover
+                box["e"] = e
+
+        t0 = time.perf_counter()
+        th = threading.Thread(target=_r, daemon=True)
+        th.start()
+        th.join(700.0)
+        results["sync_first_read_s"] = (
+            round(time.perf_counter() - t0, 1) if "v" in box
+            else f"failed: {box.get('e', 'hung')!r}"[:120])
     h, w = 480, 640
     img_np, px_np, py_np = make_inputs(h, w)
     import jax.numpy as jnp
