@@ -1029,8 +1029,18 @@ def main() -> None:
     # hurt the parent's ATE field.
     min_attempt_s = float(os.environ.get("BENCH_MIN_ATTEMPT_S", 420))
     remaining = deadline - time.monotonic() - 60.0
+    # Reserve an accuracy-fallback slice UP FRONT (r05 rehearsal: the
+    # 720-frame child burned the whole remaining budget on a 536 s
+    # sentinel-read worker crash, so the fallback — the only channel that
+    # has ever produced ATE on this relay — was skipped with 0 s left).
+    # Only reserve when there is room for both; otherwise the long-run
+    # keeps everything, as before.
+    reserve = 0.0
+    if (os.environ.get("BENCH_ACCURACY_FALLBACK", "1") != "0"
+            and remaining >= 2 * min_attempt_s + 90.0):
+        reserve = min_attempt_s + 90.0
     if remaining >= min_attempt_s:
-        long_run = _run_longrun_subprocess(remaining)
+        long_run = _run_longrun_subprocess(remaining - reserve)
     else:
         long_run = {"skipped":
                     f"insufficient budget ({remaining:.0f}s left)"}
@@ -1046,6 +1056,16 @@ def main() -> None:
     if ("ate_rmse_m" not in long_run
             and os.environ.get("BENCH_ACCURACY_FALLBACK", "1") != "0"
             and remaining >= min_attempt_s):
+        # If the long-run child's reads crashed the TPU worker, it needs
+        # ~150 s to restart before a new session can attach (measured
+        # 2026-08-20: an accuracy child launched 90 s after the crash
+        # died instantly with UNAVAILABLE). Sleep only when evidence of a
+        # crash is present and the budget can absorb it.
+        crashed = any(("UNAVAILABLE" in str(long_run.get(k, "")))
+                      for k in ("sentinel_error", "read_error", "error"))
+        if crashed and remaining - 150.0 >= min_attempt_s:
+            time.sleep(150.0)
+            remaining = deadline - time.monotonic() - 60.0
         acc = _run_accuracy_subprocess(remaining)
         for k in ("ate_rmse_m", "loop_closures"):
             if k in acc and k not in long_run:
